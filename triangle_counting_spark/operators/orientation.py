@@ -1,0 +1,96 @@
+"""Canonical edge table + degree-ordered orientation.
+
+The reference's graph invariants (SURVEY.md §1.1): undirected, deduplicated,
+no self-loops, both directions materialized for CSR (main.c:342-347,
+graph.c:76-82). Our canonical form stores each undirected edge ONCE with
+``src < dst`` and symmetrizes lazily (a `union` is cheaper than carrying 2x
+rows through every operator).
+
+Degree-ordered orientation is the reference's key skew-killer
+(`reorder_graph_by_degree`, graph.c:207-274, used by
+tc_forward_hash_degreeOrder tc.c:944-958): orient each undirected edge from
+its lower-degree endpoint to its higher-degree endpoint (ties by vertex id,
+matching the comparators at graph.c:187-205). This bounds every oriented
+out-degree by O(sqrt(m)), so no adjacency array and no intersection task can
+blow up quadratically on a hub vertex — the property that makes the
+downstream `collect_list` + intersection joins safe at 100 TB. Unlike the
+reference we never relabel the graph: comparing (degree, id) tuples directly
+is shuffle-equivalent and avoids a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SRC, DST = "src", "dst"
+
+
+def canonical_edges(edges: DataFrame, src: str = SRC, dst: str = DST) -> DataFrame:
+    """Normalize an arbitrary (possibly directed / duplicated / self-looped)
+    edge list into the canonical undirected form: src < dst, distinct.
+
+    Mirrors the reference ingest pipeline sort+uniq+no-self-loop
+    (main.c:350-370, graph.c:125-129) — expressed as least/greatest +
+    distinct so Catalyst plans one hash-aggregate, not a sort.
+    """
+    s, d = F.col(src).cast("long"), F.col(dst).cast("long")
+    return (
+        edges.select(F.least(s, d).alias(SRC), F.greatest(s, d).alias(DST))
+        .where(F.col(SRC) != F.col(DST))
+        .where(F.col(SRC).isNotNull() & F.col(DST).isNotNull())
+        .distinct()
+    )
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Both directions of each canonical edge (reference: main.c:342-347).
+
+    A narrow union — no shuffle; downstream groupBy pays the single shuffle.
+    """
+    return edges.select(SRC, DST).union(
+        edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(v, degree) over the canonical edge table.
+
+    Single shuffle; Spark's partial aggregation is the reference's
+    per-thread-counter + reduction pattern (tc_parallel.c:24-27) for free.
+    """
+    return (
+        symmetrize(edges)
+        .groupBy(F.col(SRC).alias("v"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def orient_by_degree(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
+    """Degree-ordered orientation: emit (src, dst) with
+    (deg(src), src) < (deg(dst), dst) — i.e. every edge points from its
+    lower-(degree, id) endpoint to the higher one.
+
+    Semantics of reference graph.c:207-274 + comparator graph.c:187-205
+    without the global relabel. The degree table has |V| rows (<< |E|); on a
+    real cluster it is broadcast when small, else the two equi-joins shuffle
+    on src/dst, which downstream adjacency building reuses.
+    """
+    deg = deg if deg is not None else degrees(edges)
+    d_src = deg.select(F.col("v").alias(SRC), F.col("degree").alias("deg_src"))
+    d_dst = deg.select(F.col("v").alias(DST), F.col("degree").alias("deg_dst"))
+    e = edges.join(d_src, SRC).join(d_dst, DST)
+    keep = (F.col("deg_src") < F.col("deg_dst")) | (
+        (F.col("deg_src") == F.col("deg_dst")) & (F.col(SRC) < F.col(DST))
+    )
+    return e.select(
+        F.when(keep, F.col(SRC)).otherwise(F.col(DST)).alias(SRC),
+        F.when(keep, F.col(DST)).otherwise(F.col(SRC)).alias(DST),
+    )
+
+
+def orient_by_id(edges: DataFrame) -> DataFrame:
+    """Identity orientation (src < dst) — the reference's plain ``v < w``
+    direction-oriented predicate (tc.c:214 etc.). Canonical edges already
+    satisfy it."""
+    return canonical_edges(edges)
