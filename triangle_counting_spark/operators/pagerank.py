@@ -1,0 +1,137 @@
+"""PageRank — iterative sparse gather-scatter over the edge table.
+
+rank'(v) = (1-d)/n + d * ( Σ_{u→v} rank(u)/outdeg(u) + dangling_mass/n )
+
+The gather-scatter skeleton is the reference's BFS level-relaxation shape
+(bfs.c:7-31: frontier scatter + per-vertex gather) with rank arithmetic in
+place of level assignment; the reference itself stops at the skeleton
+(SURVEY.md §2.11). Spark plan per iteration: one equi-join of the
+symmetrized edges with the rank table (shuffle on vertex id, reused across
+iterations since both sides stay hash-partitioned on the same key) + one
+hash aggregate; partial aggregation does the reference's per-thread
+partial-sum trick (tc_parallel.c:24-27) for free.
+
+Synchronous updates + float64 end-to-end → deterministic to allclose 1e-6
+against a numpy power-iteration oracle regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.iterate import LoopResult, loop
+from .orientation import DST, SRC, canonical_edges, symmetrize
+
+
+def _vertices(edges: DataFrame, vertices: DataFrame | None) -> DataFrame:
+    if vertices is not None:
+        return vertices.select(F.col(vertices.columns[0]).cast("long").alias("v")).distinct()
+    return (
+        edges.select(F.col(SRC).alias("v"))
+        .union(edges.select(F.col(DST).alias("v")))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    vertices: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    run_id: str | None = None,
+    resume: bool = True,
+    directed: bool = False,
+) -> LoopResult:
+    """Returns LoopResult whose state is ``(v: long, rank: double)``,
+    Σ rank = 1. Convergence: max |Δrank| <= tol (north-rule allclose 1e-6).
+
+    ``directed=False`` treats the canonical edge table as undirected
+    (each edge contributes both directions), matching the reference's
+    symmetric graphs (main.c:342-347).
+    """
+    ce = canonical_edges(edges)
+    out_edges = symmetrize(ce) if not directed else ce.select(SRC, DST)
+    verts = _vertices(ce, vertices)
+    n = verts.count()
+    if n == 0:
+        empty = verts.select("v", F.lit(0.0).alias("rank"))
+        return LoopResult(state=empty, iterations=0, converged=True, delta=0.0)
+
+    outdeg = out_edges.groupBy(F.col(SRC).alias("v")).agg(
+        F.count(F.lit(1)).cast("double").alias("outdeg")
+    )
+    # vertex ledger: rank + outdeg (0 for dangling) carried together so each
+    # iteration is exactly one join + one agg + one join
+    base = verts.join(outdeg, "v", "left").select(
+        "v", F.coalesce("outdeg", F.lit(0.0)).alias("outdeg")
+    )
+    state0 = base.select("v", "outdeg", F.lit(1.0 / n).alias("rank"))
+    # undirected edge-derived graphs have no dangling vertices; skip the
+    # per-iteration dangling-mass job entirely unless some exist
+    has_dangling = base.where(F.col("outdeg") == 0.0).limit(1).count() > 0
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        dangling = 0.0
+        if has_dangling:
+            dangling = (
+                state.where(F.col("outdeg") == 0.0)
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .collect()[0][0]
+            )
+        contribs = (
+            out_edges.join(
+                state.where(F.col("outdeg") > 0.0).select(
+                    F.col("v").alias(SRC), (F.col("rank") / F.col("outdeg")).alias("c")
+                ),
+                SRC,
+            )
+            .groupBy(F.col(DST).alias("v"))
+            .agg(F.sum("c").alias("gathered"))
+        )
+        const = (1.0 - damping) / n + damping * dangling / n
+        return (
+            state.select("v", "outdeg", F.col("rank").alias("rank_prev"))
+            .join(contribs, "v", "left")
+            .select(
+                "v",
+                "outdeg",
+                (F.lit(const) + F.lit(damping) * F.coalesce("gathered", F.lit(0.0))).alias(
+                    "rank"
+                ),
+                "rank_prev",
+            )
+        )
+
+    def delta_fn(_old: DataFrame, new: DataFrame, _i: int) -> float:
+        return new.agg(F.max(F.abs(F.col("rank") - F.col("rank_prev")))).collect()[0][0]
+
+    result = loop(
+        state0,
+        lambda s, i: step(s, i).select("v", "outdeg", "rank", "rank_prev"),
+        delta_fn,
+        tol=tol,
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        run_id=run_id,
+        fingerprint=f"pagerank|d={damping}|tol={tol}|n={n}|directed={directed}",
+        resume=resume,
+    )
+    result.state = result.state.select("v", "rank")
+    return result
+
+
+def pagerank_fixed(
+    edges: DataFrame, iterations: int, damping: float = 0.85, directed: bool = False
+) -> DataFrame:
+    """Exactly ``iterations`` synchronous power iterations, no convergence
+    test — the oracle-comparable deterministic variant (generated-SQL
+    oracles can't express convergence loops)."""
+    res = pagerank(
+        edges, damping=damping, tol=-1.0, max_iter=iterations, directed=directed
+    )
+    return res.state

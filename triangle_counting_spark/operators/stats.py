@@ -1,0 +1,130 @@
+"""Graph statistics & skew profiling — notebook parity + planner inputs.
+
+Reproduces the analysis notebook's profiling pipeline
+(triangle_counting_analysis.ipynb cells 8-27) as single-pass aggregates:
+degree mean/stddev, heavy/light classification at µ+2σ (cell 10), fraction
+of vertices with degree ≥ √n (cell 25), heavy/light/mixed edge classes
+(cell 15), and the communication-cost model (cell 18). The heavy/light
+split is exactly our salting criterion for skewed joins (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .orientation import DST, SRC, canonical_edges, degrees
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """1 row: n, m, mean/stddev/max degree, heavy threshold µ+2σ
+    (ipynb cell 8; max-degree reduction tc_parallel.c:799-803)."""
+    deg = degrees(edges)
+    return deg.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("degree") / 2).cast("long").alias("m"),
+        F.avg("degree").alias("mean_degree"),
+        F.coalesce(F.stddev_pop("degree"), F.lit(0.0)).alias("stddev_degree"),
+        F.max("degree").alias("max_degree"),
+    ).select(
+        "*",
+        (F.col("mean_degree") + 2 * F.col("stddev_degree")).alias("heavy_threshold"),
+    )
+
+
+def classify_vertices(edges: DataFrame, threshold: float | None = None) -> DataFrame:
+    """(v, degree, weight∈{heavy,light}) — ipynb cell 10."""
+    deg = degrees(edges)
+    if threshold is None:
+        s = degree_stats(edges).collect()[0]
+        threshold = s["heavy_threshold"]
+    return deg.select(
+        "v",
+        "degree",
+        F.when(F.col("degree") > F.lit(threshold), F.lit("heavy"))
+        .otherwise(F.lit("light"))
+        .alias("weight"),
+    )
+
+
+def sqrt_n_fraction(edges: DataFrame) -> DataFrame:
+    """1 row (fraction): share of vertices with degree ≥ √n (ipynb cell 25)."""
+    deg = degrees(edges)
+    n = deg.count()
+    thr = math.sqrt(n) if n else 0.0
+    return deg.agg(
+        (
+            F.coalesce(F.sum((F.col("degree") >= thr).cast("long")), F.lit(0))
+            / F.greatest(F.count(F.lit(1)), F.lit(1))
+        ).alias("fraction")
+    )
+
+
+def classify_edge_weights(edges: DataFrame, threshold: float | None = None) -> DataFrame:
+    """(edge_class ∈ {light,heavy,mixed}, cnt) — ipynb cells 15/27."""
+    cls = classify_vertices(edges, threshold)
+    ce = canonical_edges(edges)
+    w_src = cls.select(F.col("v").alias(SRC), F.col("weight").alias("w_src"))
+    w_dst = cls.select(F.col("v").alias(DST), F.col("weight").alias("w_dst"))
+    return (
+        ce.join(w_src, SRC)
+        .join(w_dst, DST)
+        .select(
+            F.when(
+                (F.col("w_src") == "light") & (F.col("w_dst") == "light"), "light"
+            )
+            .when((F.col("w_src") == "heavy") & (F.col("w_dst") == "heavy"), "heavy")
+            .otherwise("mixed")
+            .alias("edge_class")
+        )
+        .groupBy("edge_class")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """(degree, cnt) with a running cumulative count — the MapJIK
+    degree-bucket prefix-sum view (tc_parallel.c:837-871) as a window."""
+    from pyspark.sql import Window
+
+    hist = degrees(edges).groupBy("degree").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("degree").rowsBetween(Window.unboundedPreceding, 0)
+    return hist.select("degree", "cnt", F.sum("cnt").over(w).alias("cum_cnt"))
+
+
+def comm_cost_model(edges: DataFrame) -> DataFrame:
+    """Per-edge min(|N(a)|·log n, |N(b)|·log n, n) strategy split
+    (ipynb cell 18): for each edge pick the cheapest of send-A's-list,
+    send-B's-list, or send-a-bitmap; report edge counts + total bits per
+    strategy."""
+    deg = degrees(edges)
+    ce = canonical_edges(edges)
+    n = deg.count()
+    logn = math.log2(max(n, 2))
+    d_src = deg.select(F.col("v").alias(SRC), F.col("degree").alias("deg_src"))
+    d_dst = deg.select(F.col("v").alias(DST), F.col("degree").alias("deg_dst"))
+    costs = (
+        ce.join(d_src, SRC)
+        .join(d_dst, DST)
+        .select(
+            (F.col("deg_src") * logn).alias("cost_a"),
+            (F.col("deg_dst") * logn).alias("cost_b"),
+            F.lit(float(n)).alias("cost_bitmap"),
+        )
+        .select(
+            F.when(
+                (F.col("cost_a") <= F.col("cost_b"))
+                & (F.col("cost_a") <= F.col("cost_bitmap")),
+                "send_a",
+            )
+            .when(F.col("cost_b") <= F.col("cost_bitmap"), "send_b")
+            .otherwise("bitmap")
+            .alias("strategy"),
+            F.least("cost_a", "cost_b", "cost_bitmap").alias("bits"),
+        )
+    )
+    return costs.groupBy("strategy").agg(
+        F.count(F.lit(1)).alias("edges"), F.sum("bits").cast("long").alias("total_bits")
+    )

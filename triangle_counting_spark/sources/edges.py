@@ -1,0 +1,102 @@
+"""Co-occurrence edge derivation — the engine's real ingest path.
+
+Replaces the reference's MatrixMarket parser (main.c:296-384) with what the
+north rule actually needs: derive an edge table from a table of items
+grouped by a key (files grouped by repo; parts grouped by order; ...).
+Two items co-occur (share an edge) iff they appear under the same group key:
+a group with k items contributes C(k,2) edges — so a group is a clique and
+Σ C(k,3) is a closed-form triangle oracle (FIXTURES.md §1).
+
+Scale design:
+- the pair generation is a **self-equi-join on the group key** with an
+  ``item_a < item_b`` theta filter — Catalyst plans one shuffle on the key
+  and AQE's skew-join splits giant groups (the mega-repo problem). We keep
+  it a join (not applyInPandas) precisely so AQE *can* split it.
+- ``max_group_size`` caps pathological groups (a repo with 10^6 files would
+  alone emit 5·10^11 edges); capping is an explicit, logged policy knob —
+  the standard practice for co-occurrence graphs at web scale.
+- output ids are ``xxhash64`` of the item's natural key → dense-enough
+  longs with no global ranking shuffle at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.orientation import DST, SRC
+
+
+def cooccurrence_edges(
+    items: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """Canonical (src, dst) with src < dst, distinct, from item co-occurrence.
+
+    ``item_col`` must already be an integral vertex id (use
+    :func:`file_vertices` / ``xxhash64`` upstream for string keys).
+    """
+    base = items.select(
+        F.col(group_col).alias("g"), F.col(item_col).cast("long").alias("i")
+    ).where(F.col(item_col).isNotNull()).distinct()
+    if max_group_size is not None:
+        sizes = base.groupBy("g").agg(F.count(F.lit(1)).alias("_gsz"))
+        base = base.join(
+            sizes.where(F.col("_gsz") <= max_group_size).select("g"), "g", "left_semi"
+        )
+    a = base.select("g", F.col("i").alias(SRC))
+    b = base.select("g", F.col("i").alias(DST))
+    return (
+        a.join(b, "g")
+        .where(F.col(SRC) < F.col(DST))
+        .select(SRC, DST)
+        .distinct()
+    )
+
+
+def file_vertices(files: DataFrame) -> DataFrame:
+    """Vertex table for the source-code files input
+    (repo, path, commit, lang, content): one vertex per file,
+    id = xxhash64(repo, path) — no global rank/shuffle needed at 10^12 rows.
+
+    Keeps the sha256(content) audit column so every derived table can prove
+    the per-row invariant (BASELINE.json input_hint).
+    """
+    return files.select(
+        F.xxhash64("repo", "path").alias("v"),
+        "repo",
+        "path",
+        "lang",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    ).distinct()
+
+
+def file_cooccurrence_edges(
+    files: DataFrame,
+    lang: str | None = None,
+    max_repo_files: int | None = None,
+) -> DataFrame:
+    """(src, dst) between files of the same repo (f1.repo = f2.repo AND
+    f1 < f2), optionally restricted to one language. The engine's flagship
+    derivation (SURVEY.md §7.1 step 1); the `content` column is never read —
+    Catalyst prunes it out of the scan."""
+    f = files
+    if lang is not None:
+        f = f.where(F.col("lang") == lang)
+    verts = f.select("repo", F.xxhash64("repo", "path").alias("fid"))
+    return cooccurrence_edges(verts, "repo", "fid", max_group_size=max_repo_files)
+
+
+def sha256_audit(files: DataFrame, derived: DataFrame) -> DataFrame:
+    """Rows of ``files`` whose sha256(content) is missing/mismatched in a
+    derived table carrying ``content_sha256`` — MUST be empty (the per-row
+    invariant). Anti-join keeps it one shuffle."""
+    want = files.select(
+        F.xxhash64("repo", "path").alias("v"),
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+    return want.join(
+        derived.select("v", "content_sha256"), ["v", "content_sha256"], "left_anti"
+    )
