@@ -1,0 +1,105 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol mirrors the reference's benchmarkTC (main.c:161-192): inputs are
+materialized/cached first (the analog of copy-overhead subtraction), then
+each operator is timed end-to-end including its output action.
+Also reports edges/sec + triangles/sec throughput for the flagship
+triangle count (BASELINE.json metric).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import functions as F
+
+    from triangle_counting_spark.operators.components import connected_components
+    from triangle_counting_spark.operators.labelprop import label_propagation_fixed
+    from triangle_counting_spark.operators.pagerank import pagerank_fixed
+    from triangle_counting_spark.operators.triangles import triangle_count
+    from triangle_counting_spark.functions.dedup import ngram_jaccard_pairs
+    from triangle_counting_spark.functions.similarity import brute_force_topk
+    from triangle_counting_spark.session import get_spark
+    from triangle_counting_spark.sources.edges import cooccurrence_edges
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    times: dict[str, float] = {}
+
+    t0 = time.time()
+    edges = cooccurrence_edges(lineitem, "l_orderkey", "l_partkey").persist()
+    m = edges.count()
+    times["edge_derivation"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    triangles = triangle_count(edges, "sql").collect()[0]["triangles"]
+    times["triangle_count"] = round(time.time() - t0, 3)
+    tri_sec = times["triangle_count"]
+
+    t0 = time.time()
+    triangle_count(edges, "merge").collect()
+    times["triangle_count_merge"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    triangle_count(edges, "join").collect()
+    times["triangle_count_join"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    pagerank_fixed(edges, 10).agg(F.sum("rank")).collect()
+    times["pagerank_10it"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    cc = connected_components(edges)
+    cc.state.groupBy("component").count().collect()
+    times["connected_components"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    label_propagation_fixed(edges, 3).groupBy("label").count().collect()
+    times["label_propagation_3it"] = round(time.time() - t0, 3)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.time()
+    ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.15).count()
+    times["neardup_jaccard"] = round(time.time() - t0, 3)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = time.time()
+    brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5).count()
+    times["similarity_topk"] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "graph+pipeline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "edges": m,
+        "triangles": int(triangles),
+        "edges_per_sec": round(m / tri_sec, 1) if tri_sec else None,
+        "triangles_per_sec": round(triangles / tri_sec, 1) if tri_sec else None,
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

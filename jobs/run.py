@@ -1,0 +1,75 @@
+"""spark-submit entry point.
+
+    spark-submit --py-files tcs.zip jobs/run.py --input <edges parquet | lineitem parquet> \
+        --job triangles|pagerank|components|labelprop|all [--checkpoint-dir DIR] [--run-id ID]
+
+Builds the package zip with:  python -m zipfile -c tcs.zip triangle_counting_spark
+
+On a cluster, session confs come from spark-submit (--master yarn/k8s,
+executor counts); get_spark only fills in AQE/Arrow defaults. The N-vs-4N
+scaling protocol is: submit the identical command with N and 4N executors
+and compare the printed throughput lines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet of (src,dst) edges, or lineitem")
+    ap.add_argument("--derive", default=None, help="group_col,item_col to derive co-occurrence edges")
+    ap.add_argument("--job", default="all")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--tol", type=float, default=1e-6)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from triangle_counting_spark.operators.components import connected_components
+    from triangle_counting_spark.operators.labelprop import label_propagation
+    from triangle_counting_spark.operators.pagerank import pagerank
+    from triangle_counting_spark.operators.triangles import triangle_count
+    from triangle_counting_spark.sources.edges import cooccurrence_edges
+
+    spark = SparkSession.builder.appName("triangle-counting-spark").getOrCreate()
+    df = spark.read.parquet(args.input)
+    if args.derive:
+        g, i = args.derive.split(",")
+        edges = cooccurrence_edges(df, g, i)
+    else:
+        edges = df
+    edges = edges.persist()
+    m = edges.count()
+    out: dict = {"edges": m}
+
+    if args.job in ("triangles", "all"):
+        t0 = time.time()
+        tri = triangle_count(edges, "auto").collect()[0]["triangles"]
+        sec = time.time() - t0
+        out["triangles"] = {"count": int(tri), "sec": sec, "edges_per_sec": m / sec}
+    if args.job in ("pagerank", "all"):
+        t0 = time.time()
+        r = pagerank(edges, tol=args.tol, checkpoint_dir=args.checkpoint_dir, run_id=args.run_id)
+        r.state.count()
+        out["pagerank"] = {"iterations": r.iterations, "converged": r.converged,
+                          "sec": time.time() - t0}
+    if args.job in ("components", "all"):
+        t0 = time.time()
+        r = connected_components(edges, checkpoint_dir=args.checkpoint_dir, run_id=args.run_id)
+        ncomp = r.state.select("component").distinct().count()
+        out["components"] = {"n": ncomp, "iterations": r.iterations, "sec": time.time() - t0}
+    if args.job in ("labelprop", "all"):
+        t0 = time.time()
+        r = label_propagation(edges, checkpoint_dir=args.checkpoint_dir, run_id=args.run_id)
+        out["labelprop"] = {"iterations": r.iterations, "sec": time.time() - t0}
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,28 @@
+from __future__ import annotations
+
+from tests.conftest import TINY, make_edges
+from triangle_counting_spark.operators.pagerank import pagerank, pagerank_blocked
+
+
+def test_blocked_matches_shuffle_pagerank(spark):
+    for name in ("bowtie", "two_triangles", "star5"):
+        e = make_edges(spark, TINY[name][0])
+        a = {r.v: r["rank"] for r in pagerank(e, tol=1e-10, max_iter=60).state.collect()}
+        b = {
+            r.v: r["rank"]
+            for r in pagerank_blocked(e, tol=1e-10, max_iter=60).state.collect()
+        }
+        assert set(a) == set(b)
+        for v in a:
+            assert abs(a[v] - b[v]) < 1e-12, (name, v)
+
+
+def test_blocked_resume_bit_identical(spark, tmp_path):
+    e = make_edges(spark, TINY["bowtie"][0])
+    ck = str(tmp_path / "ck")
+    r1 = pagerank_blocked(e, tol=1e-8, max_iter=60, checkpoint_dir=ck, checkpoint_every=5)
+    r2 = pagerank_blocked(e, tol=1e-8, max_iter=60, checkpoint_dir=ck, checkpoint_every=5)
+    assert r2.metrics and r2.metrics[0].get("resumed")
+    a = {r.v: r["rank"] for r in r1.state.collect()}
+    b = {r.v: r["rank"] for r in r2.state.collect()}
+    assert a == b

@@ -1,0 +1,54 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from triangle_counting_spark.functions.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthetic_media,
+)
+from triangle_counting_spark.streaming.events import run_event_stream_demo
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = synthetic_media(spark, n=32)
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 32
+    by_id = {r.media_id: r.feature for r in feats}
+    assert all(len(v) == 8 for v in by_id.values())
+    assert all(0.0 <= x <= 1.0 for v in by_id.values() for x in v)
+    # deterministic
+    again = {r.media_id: r.feature for r in extract_features(media, dim=8).collect()}
+    assert by_id == again
+
+
+def test_multimodal_decode_stub_raises(spark):
+    media = synthetic_media(spark, n=4)
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        extract_features(media, fake=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    media = synthetic_media(spark, n=64)
+    plan = frame_sample_plan(media, every_ms=5000)
+    joined = plan.join(media, "media_id").select("media_id", "frame_ts_ms", "duration_ms")
+    rows = joined.collect()
+    assert rows
+    assert all(0 <= r.frame_ts_ms <= r.duration_ms for r in rows)
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    # batch vs stream parity: availableNow file-source run over the same
+    # parquet must reproduce the batch aggregate (modulo watermark drops;
+    # with availableNow + append mode, finalized windows flush on close)
+    src = "/root/testdata/sf0.001/events.parquet"
+    n = run_event_stream_demo(spark, src, str(tmp_path / "out"), timeout_sec=60)
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .count()
+        .count()
+    )
+    assert n > 0
+    assert n <= batch

@@ -1,0 +1,215 @@
+"""Deduplication — exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All-JVM expressions where possible; the only Python is the (vectorized)
+numpy in MinHash signature generation. The near-dup self-join family is the
+same shape as the engine's co-occurrence edge derivation: explode → join on
+a token → group — so the skew guidance (rare-token filtering ≈ degree
+orientation) carries over.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(text_hash, keep_doc_id, n_dups) — hash-groupBy exact dedup; one
+    shuffle, partial agg map-side. keep = min id (deterministic)."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.min(F.col(id_col)).cast("long").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(doc_id, sh) — distinct n-word shingles. Truncating slice at the tail
+    (docs shorter than n words yield one partial shingle) so the semantics
+    are exactly reproducible in ANSI SQL (the DuckDB oracle)."""
+    words = F.split(F.col(text_col), " ")
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)),"
+        f" i -> array_join(slice(split({text_col}, ' '), i, {n}), ' '))"
+    )
+    return (
+        df.select(F.col(id_col).cast("long").alias("doc_id"), F.explode(shingles).alias("sh"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_docfreq: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with shingle-set Jaccard ≥ threshold.
+
+    Exact within the (optional) rare-shingle filter: at web scale, shingles
+    appearing in > max_shingle_docfreq docs are dropped before the
+    self-join (boilerplate shingles are the skew hubs of this graph — the
+    exact analog of capping mega-repos in edge derivation). jaccard is a
+    ratio of integer counts → bit-identical across engines.
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    if max_shingle_docfreq is not None:
+        keep = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(
+            keep.where(F.col("df_") <= max_shingle_docfreq).select("sh"), "sh", "left_semi"
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sb"))
+    j = F.col("c") / (F.col("sa") + F.col("sb") - F.col("c"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(j >= threshold)
+        .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 64, seed: int = 7
+) -> DataFrame:
+    """(doc_id, sig: array<long>) MinHash signatures over word shingles.
+
+    h_i(x) = xxhash64(shingle, seed+i) — evaluated JVM-side; the num_hashes
+    mins come from one groupBy with array-of-min aggregates (no Python).
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    hashes = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(seed + i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*hashes)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 7,
+    verify_threshold: float | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over MinHash signatures.
+
+    Signature split into ``bands`` bands of r = num_hashes/bands rows; docs
+    agreeing on any full band become candidates (band hash join — the
+    scalable path: no all-pairs). If ``verify_threshold`` is set, candidates
+    are verified with the exact shingle Jaccard and filtered.
+    Returns (id_a, id_b [, jaccard]).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.col("sig")[b * r + i] for i in range(r)]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    exact = ngram_jaccard_pairs(df, text_col, id_col, n, verify_threshold)
+    return cand.join(exact, ["id_a", "id_b"])
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """(doc_id, simhash: long) — 64-bit SimHash over words: sign-sum of
+    per-word hash bits, all via bitwise JVM expressions (explode words,
+    per-bit ±1 contributions, aggregate, re-pack)."""
+    words = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).select("doc_id", F.xxhash64("w").alias("h"))
+    # per-bit contribution: +1 if bit set else -1; sum over words; bit = sum>0
+    sums = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    packed = sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+                for i in range(bits)
+            ],
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    return packed
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs within Hamming distance via 4-block
+    pigeonhole LSH (a pair within distance 3 agrees exactly on ≥1 of 4
+    16-bit blocks → block-equality join, no all-pairs)."""
+    sh = simhash(df, text_col, id_col)
+    blocks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.blk", "bb.key")
+    a = blocks.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "key")
+    b = blocks.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "key")
+    cand = (
+        a.join(b, ["blk", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

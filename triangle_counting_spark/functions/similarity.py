@@ -1,0 +1,152 @@
+"""Embedding similarity search — brute-force cosine top-k + LSH-bucketed ANN.
+
+Brute force is the exactness baseline (and the oracle target); the
+random-hyperplane LSH variant is the 100 TB path: candidates come from a
+bucket equi-join instead of a cross join, so cost scales with bucket
+occupancy, not |corpus| × |queries|.
+Dot products run JVM-side via zip_with + aggregate (sequential fold in
+index order → bit-reproducible); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    emb = _as_double(F.col(vec_col))
+    return df.select(
+        "*", F.sqrt(_dot(emb, emb)).alias("_norm"), emb.alias("_emb")
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, rank, neighbor_id, cos_sim) — exact cosine top-k.
+
+    The query side is broadcast (it is small by construction); similarity
+    is rounded to 9 decimals BEFORE ranking so float noise can't flip
+    near-tied orders, then ties break by neighbor id — fully deterministic.
+    """
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_emb").alias("c_emb"), F.col("_norm").alias("c_n")
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_emb").alias("q_emb"), F.col("_norm").alias("q_n")
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / F.sqrt(F.col("q_n") * F.col("q_n") * F.col("c_n") * F.col("c_n")),
+                9,
+            ).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    return (
+        sims.select("*", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id",
+                F.round("cs", 6).alias("cos_sim"))
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane (SimHash-for-cosine) LSH.
+
+    n_tables independent sign-signatures of n_planes hyperplanes; vectors
+    sharing a (table, signature) bucket with a query become candidates, then
+    exact cosine ranks them. Hyperplane components are deterministic
+    pseudo-randoms: hash(seed, table, plane, dim) mapped to ±1 — generated
+    as JVM expressions, no RNG state to ship.
+    """
+    dim_probe = corpus.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    dim = dim_probe[0]["d"] if dim_probe else 0
+
+    def signature(emb_col, table: int):
+        bits = []
+        for p in range(n_planes):
+            # ±1 hyperplane: sign pattern from a hash of (seed, table, p, i)
+            comps = [
+                F.when(
+                    F.xxhash64(F.lit(seed), F.lit(table), F.lit(p), F.lit(i))
+                    .bitwiseAND(F.lit(1)) == 1,
+                    emb_col[i],
+                ).otherwise(-emb_col[i])
+                for i in range(dim)
+            ]
+            proj = sum(comps[1:], comps[0])
+            bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        return sum(bits[1:], bits[0])
+
+    def bucketize(df: DataFrame, idname: str) -> DataFrame:
+        e = with_norm(df, vec_col)
+        tables = F.array(
+            *[
+                F.struct(F.lit(t).alias("tbl"), signature(F.col("_emb"), t).alias("sig"))
+                for t in range(n_tables)
+            ]
+        )
+        return e.select(
+            F.col(id_col).alias(idname),
+            F.col("_emb").alias(f"{idname}_emb"),
+            F.col("_norm").alias(f"{idname}_n"),
+            F.explode(tables).alias("b"),
+        ).select(idname, f"{idname}_emb", f"{idname}_n", "b.tbl", "b.sig")
+
+    cq = bucketize(queries, "query_id")
+    cc = bucketize(corpus, "neighbor_id")
+    cand = (
+        cq.join(cc, ["tbl", "sig"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "query_id_emb", "query_id_n", "neighbor_id",
+                "neighbor_id_emb", "neighbor_id_n")
+        .distinct()
+    )
+    sims = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("query_id_emb"), F.col("neighbor_id_emb"))
+            / (F.col("query_id_n") * F.col("neighbor_id_n")),
+            9,
+        ).alias("cs"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    return (
+        sims.select("*", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id",
+                F.round("cs", 6).alias("cos_sim"))
+    )

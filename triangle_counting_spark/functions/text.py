@@ -1,0 +1,95 @@
+"""Text analysis for training-data pipelines — all JVM expressions.
+
+language-ID heuristic, quality scoring, token counting, fingerprinting —
+each a single-pass column computation (no Python, no UDFs), so it pushes
+through whole-stage codegen and scales linearly with a parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+def _words(text_col: str):
+    return F.split(F.col(text_col), " ")
+
+
+def language_stats(docs: DataFrame, text_col: str = "text", lang_col: str = "lang") -> DataFrame:
+    """(lang, n_docs, avg_chars, avg_tokens) — corpus profile per language."""
+    return docs.groupBy(lang_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.length(text_col)), 6).alias("avg_chars"),
+        F.round(F.avg(F.size(_words(text_col))), 6).alias("avg_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, chars_per_token, type_token_ratio) — the standard
+    cheap quality signals (length/diversity ratios)."""
+    w = _words(text_col)
+    n_tok = F.size(w)
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(F.length(text_col).cast("double") / n_tok, 6).alias("chars_per_token"),
+        F.round(F.size(F.array_distinct(w)) / n_tok, 6).alias("type_token_ratio"),
+    )
+
+
+def stopword_ratio(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, stopword_ratio) — fraction of tokens in a tiny English
+    stopword list; a classic quality/language signal."""
+    w = _words(text_col)
+    stops = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.array_intersect(w, stops))  # distinct-based; cheap proxy
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.round(n_stop / F.greatest(F.size(w), F.lit(1)), 6).alias("stopword_ratio"),
+    )
+
+
+def language_id_heuristic(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, lang_pred) — n-gram/charset heuristic language ID.
+
+    Real corpora would use a model via a pandas UDF; here the heuristic is
+    charset-based (CJK codepoints → zh, accented latin → fr/es/de buckets,
+    else en) — deliberately simple, JVM-only, deterministic.
+    """
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.when(t.rlike("[\\u4e00-\\u9fff]"), F.lit("zh"))
+        .when(t.rlike("[àâçéèêëîïôûùüÿœ]"), F.lit("fr"))
+        .when(t.rlike("[áéíóúñ¿¡]"), F.lit("es"))
+        .when(t.rlike("[äöüß]"), F.lit("de"))
+        .otherwise(F.lit("en"))
+        .alias("lang_pred"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, ws_tokens, bpe_ish_tokens) — whitespace tokens plus a
+    BPE-ish estimate (word-boundary pieces + length/4 residue), the usual
+    cheap proxy when no tokenizer ships with the cluster."""
+    ws = F.size(_words(text_col))
+    pieces = F.size(F.split(F.col(text_col), r"(?=[A-Z])|[^A-Za-z0-9]+"))
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        ws.cast("long").alias("ws_tokens"),
+        F.greatest(pieces, (F.length(text_col) / 4).cast("int")).cast("long").alias(
+            "bpe_ish_tokens"
+        ),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, fp) — 64-bit document fingerprint: xxhash64 of the
+    whitespace-normalized text (rolling-hash fingerprinting reduces to one
+    hash once normalization is a pure expression)."""
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.xxhash64(norm).alias("fp")
+    )

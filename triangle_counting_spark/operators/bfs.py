@@ -39,8 +39,11 @@ def bfs_levels(
     (the reference's full sweep, tc.c:1174-1178). With explicit roots,
     unreachable vertices are absent from the result.
     """
+    from pyspark.storagelevel import StorageLevel
+
     ce = canonical_edges(edges)
-    sym = symmetrize(ce)
+    # joined every level — persist once (see pagerank.py note)
+    sym = symmetrize(ce).persist(StorageLevel.MEMORY_AND_DISK)
     verts = (
         ce.select(F.col(SRC).alias("v"))
         .union(ce.select(F.col(DST).alias("v")))
@@ -121,6 +124,7 @@ def bfs_levels(
         fingerprint="bfs",
         resume=False,
     )
+    sym.unpersist()
     out = res.state.select("v", "root", "level")
     return out.where(F.col("root").isNotNull()) if roots is not None else out
 

@@ -34,8 +34,11 @@ def connected_components(
 ) -> LoopResult:
     """LoopResult whose state is ``(v: long, component: long)``;
     component = min vertex id reachable. Exact (north rule)."""
+    from pyspark.storagelevel import StorageLevel
+
     ce = canonical_edges(edges)
-    sym = symmetrize(ce)
+    # joined every iteration — persist once (see pagerank.py note)
+    sym = symmetrize(ce).persist(StorageLevel.MEMORY_AND_DISK)
     state0 = (
         ce.select(F.col(SRC).alias("v"))
         .union(ce.select(F.col(DST).alias("v")))
@@ -78,6 +81,7 @@ def connected_components(
         fingerprint="cc|hash-min",
         resume=resume,
     )
+    sym.unpersist()
     result.state = result.state.select("v", "component")
     return result
 

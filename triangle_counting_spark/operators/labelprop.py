@@ -33,8 +33,11 @@ def label_propagation(
     resume: bool = True,
 ) -> LoopResult:
     """LoopResult whose state is ``(v: long, label: long)``."""
+    from pyspark.storagelevel import StorageLevel
+
     ce = canonical_edges(edges)
-    sym = symmetrize(ce)
+    # joined every iteration — persist once (see pagerank.py note)
+    sym = symmetrize(ce).persist(StorageLevel.MEMORY_AND_DISK)
     state0 = (
         ce.select(F.col(SRC).alias("v"))
         .union(ce.select(F.col(DST).alias("v")))
@@ -79,6 +82,7 @@ def label_propagation(
         fingerprint="lp|sync-minlabel",
         resume=resume,
     )
+    sym.unpersist()
     result.state = result.state.select("v", "label")
     return result
 

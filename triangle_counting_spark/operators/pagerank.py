@@ -53,8 +53,15 @@ def pagerank(
     (each edge contributes both directions), matching the reference's
     symmetric graphs (main.c:342-347).
     """
+    from pyspark.storagelevel import StorageLevel
+
     ce = canonical_edges(edges)
-    out_edges = symmetrize(ce) if not directed else ce.select(SRC, DST)
+    # the edge table is read EVERY iteration — persist it once or each
+    # iteration re-runs the whole upstream derivation (at 100 TB: re-persist
+    # to disk-backed storage or write a bucketed table instead)
+    out_edges = (symmetrize(ce) if not directed else ce.select(SRC, DST)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     verts = _vertices(ce, vertices)
     n = verts.count()
     if n == 0:
@@ -121,6 +128,7 @@ def pagerank(
         fingerprint=f"pagerank|d={damping}|tol={tol}|n={n}|directed={directed}",
         resume=resume,
     )
+    out_edges.unpersist()
     result.state = result.state.select("v", "rank")
     return result
 
@@ -135,3 +143,75 @@ def pagerank_fixed(
         edges, damping=damping, tol=-1.0, max_iter=iterations, directed=directed
     )
     return res.state
+
+
+def pagerank_blocked(
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    n_blocks: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 10,
+    resume: bool = True,
+    assume_canonical: bool = False,
+):
+    """CSR-blocked PageRank — the broadcast-tier implementation
+    (north rule: "iterative sparse gather-scatter over CSR-blocked edge
+    partitions"). Per iteration: broadcast the rank vector, each dst-block
+    gathers Σ rank(u)/outdeg(u) via np.add.reduceat, driver applies damping
+    + dangling mass and checks max |Δ| — no shuffle anywhere.
+
+    Use when the per-vertex state vector fits in memory (~10^8 vertices);
+    :func:`pagerank` is the beyond-memory shuffle tier with identical
+    semantics (cross-checked in tests).
+
+    Returns a LoopResult with state (v, rank).
+    """
+    import numpy as np
+
+    from ..plans.blocked import blocked_rounds, build_blocked
+
+    import pandas as pd
+
+    spark = edges.sparkSession
+    ce = edges.select(SRC, DST) if assume_canonical else canonical_edges(edges)
+    pdf = ce.toPandas()
+    if n_blocks is None:
+        n_blocks = max(spark.sparkContext.defaultParallelism, 1)
+    # edge weight 1/outdeg(src) lives on the edges, so the broadcast state
+    # is the rank vector itself (checkpoint/resume stays trivially correct)
+    g = build_blocked(pdf, n_blocks, edge_weight="inv_outdeg")
+    n = len(g.verts)
+    if n == 0:
+        empty = spark.createDataFrame([], "v long, rank double")
+        return LoopResult(state=empty, iterations=0, converged=True, delta=0.0)
+    dangling_mask = g.out_deg == 0.0
+
+    def update(state, gathered):
+        dangling = state[dangling_mask].sum()
+        new = (1.0 - damping) / n + damping * (gathered + dangling / n)
+        delta = np.abs(new - state).max()
+        return new, delta
+
+    rank, iters, converged, metrics = blocked_rounds(
+        spark,
+        g,
+        np.full(n, 1.0 / n),
+        "sum",
+        update,
+        tol=tol,
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        fingerprint=f"pagerank_blocked|d={damping}|tol={tol}|n={n}",
+        resume=resume,
+    )
+    out = spark.createDataFrame(pd.DataFrame({"v": g.verts, "rank": rank}))
+    return LoopResult(
+        state=out,
+        iterations=iters,
+        converged=converged,
+        delta=metrics[-1]["delta"] if metrics else 0.0,
+        metrics=metrics,
+    )

@@ -40,6 +40,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .adjacency import oriented_adjacency
 from .orientation import DST, SRC, canonical_edges, degrees, orient_by_degree
@@ -47,7 +48,25 @@ from .orientation import DST, SRC, canonical_edges, degrees, orient_by_degree
 _KERNEL_SCHEMA = "partial long"
 
 
-def _edge_adjacency_pairs(edges: DataFrame) -> DataFrame:
+def _compact_ids(np, s_raw, d_raw, m_in):
+    """Map raw vertex ids to compact int32 indices.
+
+    Dense-id fast path: when ids already live in a small range (RMAT,
+    relabeled graphs) the id IS the index — skips the unique/sort pass,
+    which is the single biggest serial cost of the broadcast tier. Sparse
+    ids (xxhash64 at 10^12 scale) take the unique(return_inverse) path.
+    """
+    mx = max(int(s_raw.max(initial=0)), int(d_raw.max(initial=0))) if m_in else 0
+    mn = min(int(s_raw.min(initial=0)), int(d_raw.min(initial=0))) if m_in else 0
+    if m_in and mn >= 0 and mx < max(4 * 2 * m_in, 1024) and mx < 2**31:
+        verts = np.arange(mx + 1, dtype=np.int64)
+        return s_raw.astype(np.int32), d_raw.astype(np.int32), verts
+    verts, inv = np.unique(np.concatenate([s_raw, d_raw]), return_inverse=True)
+    inv = inv.astype(np.int32)
+    return inv[:m_in], inv[m_in:], verts
+
+
+def _edge_adjacency_pairs(oriented: DataFrame) -> DataFrame:
     """(src, dst, nbrs_src, nbrs_dst) for every oriented edge.
 
     Two equi-joins of the oriented edge table against the adjacency table;
@@ -55,15 +74,14 @@ def _edge_adjacency_pairs(edges: DataFrame) -> DataFrame:
     sort-merge. Vertices with no outgoing oriented edge simply drop out
     (inner join) — they cannot close a triangle.
     """
-    oriented = orient_by_degree(canonical_edges(edges))
     adj = oriented_adjacency(oriented)
     a_src = adj.select(F.col("v").alias(SRC), F.col("nbrs").alias("nbrs_src"))
     a_dst = adj.select(F.col("v").alias(DST), F.col("nbrs").alias("nbrs_dst"))
     return oriented.join(a_src, SRC).join(a_dst, DST)
 
 
-def _count_sql(edges: DataFrame) -> DataFrame:
-    pairs = _edge_adjacency_pairs(edges)
+def _count_sql(oriented: DataFrame) -> DataFrame:
+    pairs = _edge_adjacency_pairs(oriented)
     return pairs.agg(
         F.coalesce(
             F.sum(F.size(F.array_intersect("nbrs_src", "nbrs_dst"))), F.lit(0)
@@ -73,14 +91,19 @@ def _count_sql(edges: DataFrame) -> DataFrame:
     )
 
 
-def _count_join(edges: DataFrame) -> DataFrame:
-    """edges(a,b) ⋈ edges(b,c) ⋈ edges(a,c) over the oriented DAG."""
-    oriented = orient_by_degree(canonical_edges(edges))
+def _oriented_triangles(oriented: DataFrame) -> DataFrame:
+    """(a, b, c) triangle enumeration: edges(a,b) ⋈ edges(b,c) ⋈ edges(a,c)
+    over the oriented DAG."""
     ab = oriented.select(F.col(SRC).alias("a"), F.col(DST).alias("b"))
     bc = oriented.select(F.col(SRC).alias("b"), F.col(DST).alias("c"))
     ac = oriented.select(F.col(SRC).alias("a"), F.col(DST).alias("c"))
-    tri = ab.join(bc, "b").join(ac, ["a", "c"])
-    return tri.agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    return ab.join(bc, "b").join(ac, ["a", "c"])
+
+
+def _count_join(oriented: DataFrame) -> DataFrame:
+    return _oriented_triangles(oriented).agg(
+        F.count(F.lit(1)).cast("long").alias("triangles")
+    )
 
 
 def _make_merge_kernel():
@@ -127,36 +150,138 @@ def _make_probe_kernel():
 _KERNELS = {"merge": _make_merge_kernel, "probe": _make_probe_kernel}
 
 
-def _count_kernel(edges: DataFrame, kernel: str) -> DataFrame:
-    pairs = _edge_adjacency_pairs(edges).select("nbrs_src", "nbrs_dst")
+def _count_kernel(oriented: DataFrame, kernel: str) -> DataFrame:
+    pairs = _edge_adjacency_pairs(oriented).select("nbrs_src", "nbrs_dst")
     partials = pairs.mapInPandas(_KERNELS[kernel](), schema=_KERNEL_SCHEMA)
     return partials.agg(
         F.coalesce(F.sum("partial"), F.lit(0)).cast("long").alias("triangles")
     )
 
 
-STRATEGIES = ("sql", "join", "merge", "probe", "auto")
+def _count_broadcast_csr(edges: DataFrame) -> DataFrame:
+    """Broadcast-CSR kernel — the shuffle-free strategy for graphs whose
+    oriented CSR fits in executor memory (16 B/edge → ~10^8 edges in a few
+    GB; the planner's `auto` guards the cutover, the shuffle strategies
+    remain the beyond-memory path).
+
+    The shuffle strategies ship Σ deg² adjacency elements through two joins
+    (measured 4.3 GB at RMAT-17). Here instead: collect the canonical edge
+    list once, orient + build CSR vectorized in numpy (degree orientation
+    semantics of graph.c:207-274), broadcast it, and fan the counting out
+    over index SLICES of the edge list via spark.range — zero shuffle, one
+    broadcast, kernel cost scales linearly with cores. The kernel is the
+    reference's amortized bool-scatter hash intersection (scatter N+(src)
+    once per src group, tc.c:1232-1252; probe kernel graph.c:423-459),
+    fully vectorized per group.
+    """
+    import numpy as np
+
+    spark = edges.sparkSession
+    pdf = edges.select(SRC, DST).toPandas()
+    s_raw = pdf["src"].to_numpy(dtype=np.int64)
+    d_raw = pdf["dst"].to_numpy(dtype=np.int64)
+    m_in = len(s_raw)
+    s, d, verts = _compact_ids(np, s_raw, d_raw, m_in)
+    n = len(verts)
+    deg = np.bincount(s, minlength=n) + np.bincount(d, minlength=n)
+    # orient by (degree, id): src -> the smaller endpoint under that order
+    fwd = (deg[s] < deg[d]) | ((deg[s] == deg[d]) & (s < d))
+    os_ = np.where(fwd, s, d)
+    od_ = np.where(fwd, d, s)
+    # (src, dst) sort via one composite-int64 argsort (2x over lexsort)
+    order = np.argsort(os_.astype(np.int64) << 32 | od_.astype(np.int64))
+    os_, od_ = os_[order], od_[order]
+    rowptr = np.zeros(n + 1, dtype=np.int64)
+    rowptr[1:] = np.cumsum(np.bincount(os_, minlength=n))
+    bc = spark.sparkContext.broadcast((rowptr, od_, os_))
+    _m = len(os_)
+    _k = max(spark.sparkContext.defaultParallelism * 4, 1)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415
+
+        rp, ci, es = bc.value  # rowptr, colind(=oriented dsts), edge srcs
+        nn = len(rp) - 1
+        mask = np.zeros(nn, dtype=bool)
+        total = 0
+        for b in batches:
+            for sl in b["id"].to_numpy():
+                lo = sl * _m // _k
+                hi = (sl + 1) * _m // _k
+                ss, dd = es[lo:hi], ci[lo:hi]
+                if len(ss) == 0:
+                    continue
+                bounds = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1], True])
+                for gi in range(len(bounds) - 1):
+                    glo, ghi = bounds[gi], bounds[gi + 1]
+                    s_nbrs = ci[rp[ss[glo]] : rp[ss[glo] + 1]]
+                    mask[s_nbrs] = True
+                    dsts = dd[glo:ghi]
+                    lens = rp[dsts + 1] - rp[dsts]
+                    tot = int(lens.sum())
+                    if tot:
+                        starts = rp[dsts]
+                        offs = (
+                            np.arange(tot)
+                            - np.repeat(np.cumsum(lens) - lens, lens)
+                            + np.repeat(starts, lens)
+                        )
+                        total += int(mask[ci[offs]].sum())
+                    mask[s_nbrs] = False
+        yield pd.DataFrame({"partial": [total]})
+
+    slices = spark.range(0, _k, 1, numPartitions=_k)
+    partials = slices.mapInPandas(kernel, schema=_KERNEL_SCHEMA)
+    return partials.agg(
+        F.coalesce(F.sum("partial"), F.lit(0)).cast("long").alias("triangles")
+    )
 
 
-def triangle_count(edges: DataFrame, strategy: str = "auto") -> DataFrame:
+STRATEGIES = ("sql", "join", "merge", "probe", "bcast", "auto")
+
+
+def triangle_count(
+    edges: DataFrame, strategy: str = "auto", assume_canonical: bool = False
+) -> DataFrame:
     """Exact global triangle count. Returns a 1-row DataFrame
     ``(triangles: long)``.
 
+    Executes EAGERLY: the oriented edge table feeds three plan branches
+    (edge list + both adjacency joins), so it is persisted for the run and
+    unpersisted right after — the Spark analog of the reference holding one
+    CSR in memory per query (main.c:168-172), without leaking cache across
+    queries.
+
     ``auto`` mirrors the reference's statistic-driven hybrid planner
-    (tc_bader_hybrid, tc.c:1844-1911) at DataFrame level: the JVM
-    array-intersect plan is best until adjacency arrays get long; the
-    pure-join plan wins when AQE can exploit its flat shuffle. We default
-    to "sql" (codegen, zero Python) — bench.py picks per-input winners.
+    (tc_bader_hybrid computes one cheap statistic then picks the physical
+    algorithm, tc.c:1844-1911): count m; if the oriented CSR fits in
+    executor memory (m ≤ 20M edges ≈ 330 MB CSR) take the shuffle-free
+    broadcast kernel, else the codegen'd shuffle plan ("sql").
     """
+    ce = edges if assume_canonical else canonical_edges(edges)
     if strategy == "auto":
-        strategy = "sql"
+        m = ce.count()
+        strategy = "bcast" if m <= 20_000_000 else "sql"
     if strategy == "sql":
-        return _count_sql(edges)
-    if strategy == "join":
-        return _count_join(edges)
-    if strategy in _KERNELS:
-        return _count_kernel(edges, strategy)
-    raise ValueError(f"unknown strategy {strategy!r}; one of {STRATEGIES}")
+        fn = _count_sql
+    elif strategy == "join":
+        fn = _count_join
+    elif strategy == "bcast":
+        # orientation happens in-kernel (numpy); feed canonical edges
+        count = _count_broadcast_csr(ce).collect()[0]["triangles"]
+        return edges.sparkSession.createDataFrame([(int(count),)], "triangles long")
+    elif strategy in _KERNELS:
+        def fn(o, _k=strategy):
+            return _count_kernel(o, _k)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}; one of {STRATEGIES}")
+    oriented = orient_by_degree(ce).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        count = fn(oriented).collect()[0]["triangles"]
+    finally:
+        oriented.unpersist()
+    spark = edges.sparkSession
+    return spark.createDataFrame([(int(count),)], "triangles long")
 
 
 def triangles_per_vertex(edges: DataFrame) -> DataFrame:
@@ -166,10 +291,7 @@ def triangles_per_vertex(edges: DataFrame) -> DataFrame:
     no triangle are absent (join with degrees to zero-fill if needed).
     """
     oriented = orient_by_degree(canonical_edges(edges))
-    ab = oriented.select(F.col(SRC).alias("a"), F.col(DST).alias("b"))
-    bc = oriented.select(F.col(SRC).alias("b"), F.col(DST).alias("c"))
-    ac = oriented.select(F.col(SRC).alias("a"), F.col(DST).alias("c"))
-    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    tri = _oriented_triangles(oriented)
     corners = (
         tri.select(F.col("a").alias("v"))
         .union(tri.select(F.col("b").alias("v")))

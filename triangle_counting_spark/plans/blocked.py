@@ -1,0 +1,210 @@
+"""CSR-blocked iteration — the broadcast-tier substrate for PageRank / CC /
+label propagation (north rule: "iterative sparse gather-scatter over
+CSR-blocked edge partitions").
+
+Tiering (mirrors the reference's plan choice by graph statistic,
+tc.c:1844-1911):
+
+- **blocked tier** (this module): the per-vertex STATE vector fits in
+  executor memory (8-16 B/vertex → ~10^8 vertices in a few GB). Edges are
+  partitioned once into P dst-disjoint CSR blocks that live as numpy arrays
+  inside long-lived Arrow tasks; each iteration broadcasts the state
+  vector, every block gathers contributions for its own dst range with
+  np.add.reduceat (vectorized, zero Python-per-row), and the driver
+  assembles + convergence-checks the next vector. Per-iteration cost:
+  1 broadcast + P map tasks + 1 small collect — NO shuffle at all.
+- **shuffle tier** (operators/pagerank.py etc. + plans/iterate.py): state
+  itself is distributed; one join + one aggregate per iteration. Used when
+  vertices don't fit a vector (10^11+), at the cost of per-iteration
+  shuffles.
+
+Checkpoint/resume: the state vector + iteration meta are written as
+parquet via pyarrow every ``checkpoint_every`` iterations (atomic
+write-then-rename), same contract as plans/iterate.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class BlockedGraph:
+    """Driver-resident compact graph: ids + per-block CSR over dst."""
+
+    verts: np.ndarray  # sorted original vertex ids, index = compact id
+    src: np.ndarray  # compact src of SYMMETRIZED edges, grouped by dst-block
+    dst: np.ndarray
+    out_deg: np.ndarray
+    n_blocks: int
+    block_bounds: np.ndarray  # edge-index boundaries per block (len n_blocks+1)
+    weight: np.ndarray | None = None  # optional per-edge gather weight
+
+
+def build_blocked(
+    edges_pdf: pd.DataFrame, n_blocks: int, edge_weight: str | None = None
+) -> BlockedGraph:
+    """Compact + symmetrize + sort edges by (block(dst), dst).
+
+    edges_pdf: canonical (src < dst) undirected edge list.
+    edge_weight: None, or "inv_outdeg" (w = 1/outdeg(src) — PageRank).
+    """
+    from ..operators.triangles import _compact_ids
+
+    s_raw = edges_pdf["src"].to_numpy(dtype=np.int64)
+    d_raw = edges_pdf["dst"].to_numpy(dtype=np.int64)
+    m = len(s_raw)
+    # int32 compact ids halve the memory traffic of every later gather;
+    # dense-id inputs skip the unique pass entirely
+    s, d, verts = _compact_ids(np, s_raw, d_raw, m)
+    # symmetrize: undirected gather needs both directions
+    src = np.concatenate([s, d])
+    dst = np.concatenate([d, s])
+    n = len(verts)
+    out_deg = np.bincount(src, minlength=n).astype(np.float64)
+    # block(dst) is monotone in dst → a single stable argsort on dst gives
+    # block-grouped dst-sorted order (no lexsort needed)
+    order = np.argsort(dst, kind="stable")
+    src, dst = src[order], dst[order]
+    starts = ((np.arange(n_blocks + 1, dtype=np.int64) * n) + n_blocks - 1) // max(
+        n_blocks, 1
+    )
+    bounds = np.searchsorted(dst, np.minimum(starts, n))
+    weight = None
+    if edge_weight == "inv_outdeg":
+        weight = 1.0 / out_deg[src]
+    return BlockedGraph(verts, src, dst, out_deg, n_blocks, bounds, weight)
+
+
+def blocked_rounds(
+    spark: SparkSession,
+    g: BlockedGraph,
+    state0: np.ndarray,
+    gather: str,
+    update,
+    tol: float,
+    max_iter: int,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 10,
+    fingerprint: str = "",
+    resume: bool = True,
+) -> tuple[np.ndarray, int, bool, list[dict]]:
+    """Run blocked gather-scatter rounds.
+
+    gather: "sum" (PageRank contributions) or "min" (hash-min CC).
+    update(state, gathered) -> (new_state, delta).
+    Returns (state, iterations, converged, metrics).
+    """
+    import time
+
+    bc_graph = spark.sparkContext.broadcast(
+        (g.src, g.dst, g.block_bounds, len(g.verts), g.weight)
+    )
+    n_blocks = g.n_blocks
+    state = state0.copy()
+    start_iter = 0
+    metrics: list[dict] = []
+
+    if checkpoint_dir and resume:
+        found = _latest(checkpoint_dir, fingerprint)
+        if found:
+            start_iter, state, meta = found
+            metrics.append({"iteration": start_iter, "resumed": True, **meta})
+            if meta.get("delta", float("inf")) <= tol:
+                return state, start_iter, True, metrics
+
+    mode_min = gather == "min"
+
+    def make_round(bc_state):
+        def fn(batches):
+            s_, d_, bounds, n, w_ = bc_graph.value
+            vec = bc_state.value
+            for b in batches:
+                for blk in b["id"].to_numpy():
+                    lo, hi = bounds[blk], bounds[blk + 1]
+                    if hi <= lo:
+                        yield pd.DataFrame({"dst": [], "val": []}).astype(
+                            {"dst": "int64", "val": "float64"}
+                        )
+                        continue
+                    dd = d_[lo:hi]
+                    contrib = vec[s_[lo:hi]]
+                    if w_ is not None:
+                        contrib = contrib * w_[lo:hi]
+                    # dst-sorted within block → segment reduce
+                    cut = np.flatnonzero(np.r_[True, dd[1:] != dd[:-1]])
+                    if mode_min:
+                        red = np.minimum.reduceat(contrib, cut)
+                    else:
+                        red = np.add.reduceat(contrib, cut)
+                    yield pd.DataFrame({"dst": dd[cut], "val": red})
+
+        return fn
+
+    # one slice id per partition (numPartitions=n_blocks) — NO repartition:
+    # an AQE shuffle here costs ~0.7 s per iteration for nothing
+    slices = spark.range(0, n_blocks, 1, numPartitions=n_blocks)
+    converged = False
+    delta = float("inf")
+    i = start_iter
+    for i in range(start_iter + 1, max_iter + 1):
+        t0 = time.time()
+        bc_state = spark.sparkContext.broadcast(state)
+        rows = slices.mapInPandas(make_round(bc_state), schema="dst long, val double")
+        pdf = rows.toPandas()
+        bc_state.destroy()
+        gathered = np.full(
+            len(g.verts), np.inf if mode_min else 0.0, dtype=np.float64
+        )
+        gathered[pdf["dst"].to_numpy(dtype=np.int64)] = pdf["val"].to_numpy()
+        state, delta = update(state, gathered)
+        m = {"iteration": i, "delta": float(delta), "sec": time.time() - t0}
+        if checkpoint_dir and (i % checkpoint_every == 0 or delta <= tol):
+            _write(checkpoint_dir, fingerprint, i, state, float(delta))
+            m["checkpoint"] = True
+        metrics.append(m)
+        if delta <= tol:
+            converged = True
+            break
+    return state, i, converged, metrics
+
+
+def _write(base: str, fingerprint: str, iteration: int, state: np.ndarray, delta: float):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(base, exist_ok=True)
+    tmp = os.path.join(base, f".iter{iteration:06d}.tmp.parquet")
+    pq.write_table(pa.table({"state": state}), tmp)
+    os.replace(tmp, os.path.join(base, f"iter{iteration:06d}.parquet"))
+    meta = {"iteration": iteration, "delta": delta, "fingerprint": fingerprint}
+    tmpm = os.path.join(base, f".iter{iteration:06d}.tmp.json")
+    with open(tmpm, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmpm, os.path.join(base, f"iter{iteration:06d}.json"))
+
+
+def _latest(base: str, fingerprint: str):
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(base):
+        return None
+    for name in sorted(os.listdir(base), reverse=True):
+        if not (name.startswith("iter") and name.endswith(".json")):
+            continue
+        with open(os.path.join(base, name)) as f:
+            meta = json.load(f)
+        if meta.get("fingerprint") != fingerprint:
+            continue
+        pq_path = os.path.join(base, name.replace(".json", ".parquet"))
+        if not os.path.exists(pq_path):
+            continue
+        state = pq.read_table(pq_path)["state"].to_numpy().copy()
+        return meta["iteration"], state, meta
+    return None

@@ -72,19 +72,21 @@ def synthetic_files(
     )
 
 
-def skew_fixture(spark: SparkSession) -> DataFrame:
-    """FIXTURES.md §6: one mega-repo with 2000 files + 500 repos of 3 files.
-    Expected triangles = C(2000,3) + 500 = 1,331,334,000,500 — exceeds
-    uint32, proving 64-bit counters (the reference's UINT_t would overflow,
-    SURVEY.md §1.4)."""
-    mega = spark.range(2000).select(
+def skew_fixture(
+    spark: SparkSession, mega_files: int = 2000, small_repos: int = 500
+) -> DataFrame:
+    """FIXTURES.md §6: one mega-repo with ``mega_files`` files + 500 repos
+    of 3 files. Default expected triangles = C(2000,3) + 500 =
+    1,331,334,000,500 — exceeds uint32, proving 64-bit counters (the
+    reference's UINT_t would overflow, SURVEY.md §1.4)."""
+    mega = spark.range(mega_files).select(
         F.lit("org/mega").alias("repo"),
         F.format_string("f_%04d.py", F.col("id")).alias("path"),
         F.lit("0" * 40).alias("commit"),
         F.lit("py").alias("lang"),
         F.format_string("x=%d", F.col("id")).alias("content"),
     )
-    small = spark.range(1500).select(
+    small = spark.range(3 * small_repos).select(
         F.format_string("org/small-%04d", (F.col("id") / 3).cast("long")).alias("repo"),
         F.format_string("g_%04d.py", F.col("id")).alias("path"),
         F.lit("1" * 40).alias("commit"),

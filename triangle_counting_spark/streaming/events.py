@@ -1,0 +1,81 @@
+"""Structured Streaming operators.
+
+The reference is strictly batch (SURVEY.md §2.9) — this module is the
+engine's forward-looking surface for continuous ingest: a stream of edge
+rows (e.g. new files landing in repos → new co-occurrence edges) maintains
+incremental degree counts and windowed event statistics. Exact triangle
+maintenance under inserts is intentionally NOT incrementalized (it needs
+Δ-joins against the full adjacency; run the batch operator on the sink
+table instead — documented trade-off).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed event counts with late-data handling.
+
+    ``events`` must be a STREAMING DataFrame with (ts timestamp,
+    event_type string, value double). Watermark bounds state: rows later
+    than ``watermark`` behind the max event time are dropped, so state
+    size is O(windows in flight), not O(stream length).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_degree_counts(edge_stream: DataFrame, watermark_col: str | None = None) -> DataFrame:
+    """Running degree table over an append-only edge stream (src, dst).
+
+    Complete-mode aggregate: degree(v) = count of incident edge events.
+    The batch engine's `degrees` (orientation.py) on a static table and
+    this on a stream share one logical definition.
+    """
+    sym = edge_stream.select(F.col("src").alias("v")).union(
+        edge_stream.select(F.col("dst").alias("v"))
+    )
+    return sym.groupBy("v").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def run_event_stream_demo(spark, src_dir: str, out_dir: str, timeout_sec: int = 30) -> int:
+    """Drive the windowed aggregate end-to-end with the file source reading
+    parquet event files from ``src_dir`` → parquet sink. Returns rows
+    written. Used by tests (file-source streaming is deterministic)."""
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    agg = streaming_event_counts(stream)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/data")
+        .option("checkpointLocation", f"{out_dir}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+    try:
+        return spark.read.parquet(f"{out_dir}/data").count()
+    except Exception:  # noqa: BLE001 — empty sink (all rows behind watermark)
+        return 0
