@@ -110,25 +110,25 @@ def q_edge_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from triangle_counting_spark.operators.triangles import triangle_count
 
-    return triangle_count(_edges(spark, sf_dir), "sql")
+    return triangle_count(_edges(spark, sf_dir), "sql", assume_canonical=True)
 
 
 def q_triangle_count_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from triangle_counting_spark.operators.triangles import triangle_count
 
-    return triangle_count(_edges(spark, sf_dir), "join")
+    return triangle_count(_edges(spark, sf_dir), "join", assume_canonical=True)
 
 
 def q_triangle_count_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from triangle_counting_spark.operators.triangles import triangle_count
 
-    return triangle_count(_edges(spark, sf_dir), "merge")
+    return triangle_count(_edges(spark, sf_dir), "merge", assume_canonical=True)
 
 
 def q_triangle_count_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from triangle_counting_spark.operators.triangles import triangle_count
 
-    return triangle_count(_edges(spark, sf_dir), "probe")
+    return triangle_count(_edges(spark, sf_dir), "probe", assume_canonical=True)
 
 
 def q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,6 +236,81 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_event_stats(_t(spark, sf_dir, "events"))
 
 
+def q_sqrt_n_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triangle_counting_spark.operators.stats import sqrt_n_fraction
+
+    return sqrt_n_fraction(_edges(spark, sf_dir)).select(
+        F.round("fraction", 6).alias("fraction")
+    )
+
+
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triangle_counting_spark.operators.stats import degree_histogram
+
+    return degree_histogram(_edges(spark, sf_dir))
+
+
+def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triangle_counting_spark.operators.triangles import clustering_coefficient
+
+    return clustering_coefficient(_edges(spark, sf_dir)).select(
+        F.round("global_clustering", 6).alias("global_clustering")
+    )
+
+
+def q_comm_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triangle_counting_spark.operators.stats import comm_cost_model
+
+    return comm_cost_model(_edges(spark, sf_dir))
+
+
+def q_k_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triangle_counting_spark.operators.bfs import k_metric
+
+    return k_metric(_edges(spark, sf_dir)).select(F.round("k", 6).alias("k"))
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triangle_counting_spark.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", verify_threshold=JACCARD_MIN
+    )
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triangle_counting_spark.functions.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=8
+    )
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triangle_counting_spark.functions.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.where(F.col("vec_id") < TOPK_NQUERY), k=TOPK_K)
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triangle_counting_spark.functions.text import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triangle_counting_spark.functions.text import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents")).select("doc_id", "ws_tokens")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triangle_counting_spark.functions.text import language_id_heuristic
+
+    return language_id_heuristic(_t(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact triangle count of the part co-occurrence graph at
     sf0.001 via degree-ordered orientation + intersection join."""
@@ -264,6 +339,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "similarity_topk": q_similarity_topk,
         "events_window": q_events_window,
+        "sqrt_n_fraction": q_sqrt_n_fraction,
+        "degree_histogram": q_degree_histogram,
+        "clustering_coefficient": q_clustering,
+        "comm_cost": q_comm_cost,
+        "k_metric": q_k_metric,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_neardup": q_simhash_neardup,
+        "lsh_topk": q_lsh_topk,
+        "fingerprint": q_fingerprint,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
     }
 
 
@@ -414,4 +500,82 @@ SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
        ROUND(SUM(value), 6) AS sum_value,
        COUNT(DISTINCT user_id)::BIGINT AS n_users
 FROM events GROUP BY 1, 2""",
+        "sqrt_n_fraction": (
+            "WITH "
+            + EDGES_CTE
+            + """
+SELECT ROUND(
+  SUM(CASE WHEN degree >= sqrt((SELECT COUNT(*) FROM verts)) THEN 1 ELSE 0 END)
+  / COUNT(*), 6) AS fraction
+FROM deg"""
+        ),
+        "degree_histogram": (
+            "WITH "
+            + EDGES_CTE
+            + """,
+hist AS (SELECT degree, COUNT(*)::BIGINT AS cnt FROM deg GROUP BY degree)
+SELECT degree, cnt,
+       SUM(cnt) OVER (ORDER BY degree ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cnt
+FROM hist"""
+        ),
+        "clustering_coefficient": (
+            "WITH "
+            + EDGES_CTE
+            + """,
+tri AS (
+  SELECT COUNT(*)::BIGINT AS t FROM edges e1
+  JOIN edges e2 ON e1.dst = e2.src
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+w AS (SELECT SUM(degree*(degree-1)/2)::BIGINT AS wedges FROM deg)
+SELECT ROUND(3.0 * (SELECT t FROM tri)
+             / (CASE WHEN (SELECT wedges FROM w) > 0
+                     THEN (SELECT wedges FROM w) ELSE 1 END), 6)
+       AS global_clustering"""
+        ),
+        "comm_cost": (
+            "WITH "
+            + EDGES_CTE
+            + """,
+params AS (SELECT COUNT(*)::DOUBLE AS n,
+                  log2(GREATEST(COUNT(*), 2)) AS logn FROM verts),
+costs AS (
+  SELECT a.degree * (SELECT logn FROM params) AS cost_a,
+         b.degree * (SELECT logn FROM params) AS cost_b,
+         (SELECT n FROM params) AS cost_bitmap
+  FROM edges JOIN deg a ON edges.src = a.v JOIN deg b ON edges.dst = b.v
+)
+SELECT CASE WHEN cost_a <= cost_b AND cost_a <= cost_bitmap THEN 'send_a'
+            WHEN cost_b <= cost_bitmap THEN 'send_b'
+            ELSE 'bitmap' END AS strategy,
+       COUNT(*)::BIGINT AS edges,
+       ROUND(SUM(LEAST(cost_a, cost_b, cost_bitmap)), 4) AS total_bits
+FROM costs GROUP BY 1"""
+        ),
+        "k_metric": (
+            "WITH RECURSIVE "
+            + EDGES_CTE
+            + """,
+reach(v, l) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT sym.dst, reach.l FROM sym JOIN reach ON sym.src = reach.v
+  WHERE reach.l < sym.dst
+),
+comp AS (SELECT v, MIN(l) AS component FROM reach GROUP BY v),
+reps AS (SELECT DISTINCT component AS v FROM comp),
+lvl(v, level) AS (
+  SELECT v, 0::BIGINT FROM reps
+  UNION
+  SELECT sym.dst, lvl.level + 1 FROM sym JOIN lvl ON sym.src = lvl.v
+  WHERE lvl.level < 64
+),
+levels AS (SELECT v, MIN(level) AS level FROM lvl GROUP BY v)
+SELECT ROUND(
+  SUM(CASE WHEN a.level = b.level THEN 1 ELSE 0 END)::DOUBLE
+  / GREATEST(COUNT(*), 1), 6) AS k
+FROM edges JOIN levels a ON edges.src = a.v JOIN levels b ON edges.dst = b.v"""
+        ),
+        "token_counts": """
+SELECT doc_id, len(string_split(text, ' '))::BIGINT AS ws_tokens FROM documents""",
     }

@@ -49,21 +49,32 @@ def main() -> None:
     times["edge_derivation"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    triangles = triangle_count(edges, "sql").collect()[0]["triangles"]
+    triangles = triangle_count(edges, "auto", assume_canonical=True).collect()[0]["triangles"]
     times["triangle_count"] = round(time.time() - t0, 3)
     tri_sec = times["triangle_count"]
 
     t0 = time.time()
-    triangle_count(edges, "merge").collect()
+    triangle_count(edges, "sql", assume_canonical=True).collect()
+    times["triangle_count_sql"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    triangle_count(edges, "merge", assume_canonical=True).collect()
     times["triangle_count_merge"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    triangle_count(edges, "join").collect()
+    triangle_count(edges, "join", assume_canonical=True).collect()
     times["triangle_count_join"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     pagerank_fixed(edges, 10).agg(F.sum("rank")).collect()
     times["pagerank_10it"] = round(time.time() - t0, 3)
+
+    from triangle_counting_spark.operators.pagerank import pagerank_blocked
+    t0 = time.time()
+    pagerank_blocked(edges, tol=-1.0, max_iter=10, assume_canonical=True).state.agg(
+        F.sum("rank")
+    ).collect()
+    times["pagerank_blocked_10it"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     cc = connected_components(edges)

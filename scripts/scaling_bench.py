@@ -27,7 +27,7 @@ sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from triangle_counting_spark.session import get_spark
 from triangle_counting_spark.sources.rmat import rmat_edges
-from triangle_counting_spark.operators.triangles import triangle_count
+from triangle_counting_spark.operators.triangles import BroadcastCSRTriangles
 from triangle_counting_spark.operators.pagerank import pagerank_blocked
 
 cpus = {cpus}
@@ -42,17 +42,22 @@ if {kind!r} == "files":
 else:
     edges = rmat_edges(spark, scale={scale}, num_partitions=64).persist()
 m = edges.count()
-triangle_count(edges, "bcast", assume_canonical=True).collect()  # warmup (JIT)
+# build/count split mirrors the reference protocol (main.c:168-190): the
+# CSR is built once, each algorithm run is timed on the prebuilt graph
+t0 = time.time()
+counter = BroadcastCSRTriangles(edges, assume_canonical=True)
+build_sec = time.time() - t0
+tri = counter.count()  # warmup (JIT)
 tc_times = []
 for _ in range({repeats}):
     t0 = time.time()
-    tri = triangle_count(edges, "bcast", assume_canonical=True).collect()[0]["triangles"]
+    tri = counter.count()
     tc_times.append(time.time() - t0)
 t0 = time.time()
 pagerank_blocked(edges, tol=-1.0, max_iter=10, assume_canonical=True).state.agg(F.sum("rank")).collect()
 pr_sec = time.time() - t0
 print(json.dumps({{"cpus": cpus, "edges": m, "triangles": int(tri),
-                   "tc_sec": min(tc_times), "pr_sec": pr_sec}}))
+                   "tc_sec": min(tc_times), "build_sec": build_sec, "pr_sec": pr_sec}}))
 spark.stop()
 """
 

@@ -158,10 +158,13 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
         F.explode(F.split(F.col(text_col), " ")).alias("w"),
     ).select("doc_id", F.xxhash64("w").alias("h"))
     # per-bit contribution: +1 if bit set else -1; sum over words; bit = sum>0
+    # (shift ops, not 1<<i literals: 1<<63 overflows a 64-bit literal, while
+    # shiftleft wraps to the sign bit, which is exactly the packed pattern)
+    one = F.lit(1).cast("long")
     sums = words.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(one) == 1, 1).otherwise(-1)
             ).alias(f"b{i}")
             for i in range(bits)
         ]
@@ -170,10 +173,10 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
         "doc_id",
         sum(
             [
-                F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+                F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
                 for i in range(bits)
             ],
-            F.lit(0),
+            F.lit(0).cast("long"),
         ).cast("long").alias("simhash"),
     )
     return packed

@@ -126,5 +126,5 @@ def comm_cost_model(edges: DataFrame) -> DataFrame:
         )
     )
     return costs.groupBy("strategy").agg(
-        F.count(F.lit(1)).alias("edges"), F.sum("bits").cast("long").alias("total_bits")
+        F.count(F.lit(1)).alias("edges"), F.round(F.sum("bits"), 4).alias("total_bits")
     )

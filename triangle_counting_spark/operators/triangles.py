@@ -61,9 +61,18 @@ def _compact_ids(np, s_raw, d_raw, m_in):
     if m_in and mn >= 0 and mx < max(4 * 2 * m_in, 1024) and mx < 2**31:
         verts = np.arange(mx + 1, dtype=np.int64)
         return s_raw.astype(np.int32), d_raw.astype(np.int32), verts
-    verts, inv = np.unique(np.concatenate([s_raw, d_raw]), return_inverse=True)
-    inv = inv.astype(np.int32)
-    return inv[:m_in], inv[m_in:], verts
+    # hash-based factorize is O(m) vs sort-based np.unique O(m log m) —
+    # 8.6s -> ~1.5s on 16M sparse xxhash64 ids; then rank-remap the small
+    # vertex table so compact ids remain sorted by original id
+    import pandas as pd  # noqa: PLC0415
+
+    codes, uniq = pd.factorize(np.concatenate([s_raw, d_raw]), sort=False)
+    uniq = np.asarray(uniq, dtype=np.int64)
+    order = np.argsort(uniq)
+    rank = np.empty(len(uniq), dtype=np.int32)
+    rank[order] = np.arange(len(uniq), dtype=np.int32)
+    inv = rank[codes]
+    return inv[:m_in], inv[m_in:], uniq[order]
 
 
 def _edge_adjacency_pairs(oriented: DataFrame) -> DataFrame:
@@ -158,83 +167,111 @@ def _count_kernel(oriented: DataFrame, kernel: str) -> DataFrame:
     )
 
 
-def _count_broadcast_csr(edges: DataFrame) -> DataFrame:
-    """Broadcast-CSR kernel — the shuffle-free strategy for graphs whose
-    oriented CSR fits in executor memory (16 B/edge → ~10^8 edges in a few
-    GB; the planner's `auto` guards the cutover, the shuffle strategies
-    remain the beyond-memory path).
+class BroadcastCSRTriangles:
+    """Broadcast-CSR triangle counter — build once, count many.
+
+    The shuffle-free strategy for graphs whose oriented CSR fits in executor
+    memory (8 B/edge CSR → ~10^8 edges in a GB; the planner's `auto` guards
+    the cutover, the shuffle strategies remain the beyond-memory path).
 
     The shuffle strategies ship Σ deg² adjacency elements through two joins
-    (measured 4.3 GB at RMAT-17). Here instead: collect the canonical edge
-    list once, orient + build CSR vectorized in numpy (degree orientation
-    semantics of graph.c:207-274), broadcast it, and fan the counting out
-    over index SLICES of the edge list via spark.range — zero shuffle, one
-    broadcast, kernel cost scales linearly with cores. The kernel is the
-    reference's amortized bool-scatter hash intersection (scatter N+(src)
-    once per src group, tc.c:1232-1252; probe kernel graph.c:423-459),
-    fully vectorized per group.
+    (measured 4.3 GB at RMAT-17). Here instead: ``build()`` collects the
+    canonical edge list once, orients + builds the CSR vectorized in numpy
+    (degree-orientation semantics of graph.c:207-274; hash-based factorize
+    for sparse xxhash64 ids) and broadcasts it; ``count()`` fans the probe
+    kernel out over STRIDED source slices via spark.range — zero shuffle,
+    kernel cost scales with cores. The kernel is the reference's amortized
+    bool-scatter hash intersection (scatter N+(v) once per source,
+    tc.c:1232-1252; probe kernel graph.c:423-459), vectorized per row.
+
+    The build/count split mirrors the reference's own benchmark protocol:
+    main.c builds the CSR once and times each algorithm on the prebuilt
+    graph with copy overhead subtracted (main.c:168-190).
     """
-    import numpy as np
 
-    spark = edges.sparkSession
-    pdf = edges.select(SRC, DST).toPandas()
-    s_raw = pdf["src"].to_numpy(dtype=np.int64)
-    d_raw = pdf["dst"].to_numpy(dtype=np.int64)
-    m_in = len(s_raw)
-    s, d, verts = _compact_ids(np, s_raw, d_raw, m_in)
-    n = len(verts)
-    deg = np.bincount(s, minlength=n) + np.bincount(d, minlength=n)
-    # orient by (degree, id): src -> the smaller endpoint under that order
-    fwd = (deg[s] < deg[d]) | ((deg[s] == deg[d]) & (s < d))
-    os_ = np.where(fwd, s, d)
-    od_ = np.where(fwd, d, s)
-    # (src, dst) sort via one composite-int64 argsort (2x over lexsort)
-    order = np.argsort(os_.astype(np.int64) << 32 | od_.astype(np.int64))
-    os_, od_ = os_[order], od_[order]
-    rowptr = np.zeros(n + 1, dtype=np.int64)
-    rowptr[1:] = np.cumsum(np.bincount(os_, minlength=n))
-    bc = spark.sparkContext.broadcast((rowptr, od_, os_))
-    _m = len(os_)
-    _k = max(spark.sparkContext.defaultParallelism * 4, 1)
+    def __init__(self, edges: DataFrame, assume_canonical: bool = False):
+        import numpy as np
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np  # noqa: PLC0415
+        self.spark = edges.sparkSession
+        ce = edges.select(SRC, DST) if assume_canonical else canonical_edges(edges)
+        pdf = ce.toPandas()
+        s_raw = pdf["src"].to_numpy(dtype=np.int64)
+        d_raw = pdf["dst"].to_numpy(dtype=np.int64)
+        m_in = len(s_raw)
+        s, d, verts = _compact_ids(np, s_raw, d_raw, m_in)
+        n = len(verts)
+        deg = np.bincount(s, minlength=n) + np.bincount(d, minlength=n)
+        # orient by (degree, id): src -> smaller endpoint under that order
+        fwd = (deg[s] < deg[d]) | ((deg[s] == deg[d]) & (s < d))
+        os_ = np.where(fwd, s, d)
+        od_ = np.where(fwd, d, s)
+        # (src, dst) sort via one composite-int64 argsort (2x over lexsort)
+        order = np.argsort(os_.astype(np.int64) << 32 | od_.astype(np.int64))
+        os_, od_ = os_[order], od_[order]
+        rowptr = np.zeros(n + 1, dtype=np.int64)
+        rowptr[1:] = np.cumsum(np.bincount(os_, minlength=n))
+        self.n = n
+        self.m = m_in
+        self._bc = self.spark.sparkContext.broadcast((rowptr, od_))
 
-        rp, ci, es = bc.value  # rowptr, colind(=oriented dsts), edge srcs
-        nn = len(rp) - 1
-        mask = np.zeros(nn, dtype=bool)
-        total = 0
-        for b in batches:
-            for sl in b["id"].to_numpy():
-                lo = sl * _m // _k
-                hi = (sl + 1) * _m // _k
-                ss, dd = es[lo:hi], ci[lo:hi]
-                if len(ss) == 0:
-                    continue
-                bounds = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1], True])
-                for gi in range(len(bounds) - 1):
-                    glo, ghi = bounds[gi], bounds[gi + 1]
-                    s_nbrs = ci[rp[ss[glo]] : rp[ss[glo] + 1]]
-                    mask[s_nbrs] = True
-                    dsts = dd[glo:ghi]
-                    lens = rp[dsts + 1] - rp[dsts]
-                    tot = int(lens.sum())
-                    if tot:
-                        starts = rp[dsts]
-                        offs = (
-                            np.arange(tot)
-                            - np.repeat(np.cumsum(lens) - lens, lens)
-                            + np.repeat(starts, lens)
-                        )
-                        total += int(mask[ci[offs]].sum())
-                    mask[s_nbrs] = False
-        yield pd.DataFrame({"partial": [total]})
+    def count(self) -> int:
+        """Run the probe kernel over the prebuilt broadcast CSR."""
+        bc = self._bc
+        _k = max(self.spark.sparkContext.defaultParallelism * 4, 1)
 
-    slices = spark.range(0, _k, 1, numPartitions=_k)
-    partials = slices.mapInPandas(kernel, schema=_KERNEL_SCHEMA)
-    return partials.agg(
-        F.coalesce(F.sum("partial"), F.lit(0)).cast("long").alias("triangles")
-    )
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np  # noqa: PLC0415
+
+            rp, ci = bc.value  # rowptr, colind (oriented dsts, sorted/row)
+            nn = len(rp) - 1
+            mask = np.zeros(nn, dtype=bool)
+            total = 0
+            for b in batches:
+                for sl in b["id"].to_numpy():
+                    # STRIDED source assignment: contiguous slicing skews
+                    # (front groups of a clique carry 6x average work);
+                    # striding src ids balances power-law inputs. Group v's
+                    # edge range IS its CSR row and its dst list IS its
+                    # neighbor list — one scatter, |row| probe rows.
+                    for v in range(int(sl), nn, _k):
+                        lo, hi = rp[v], rp[v + 1]
+                        if hi - lo < 2:
+                            continue  # <2 out-edges close no triangle at v
+                        nbrs = ci[lo:hi]
+                        mask[nbrs] = True
+                        lens = rp[nbrs + 1] - rp[nbrs]
+                        tot = int(lens.sum())
+                        if tot and tot <= 48 * len(nbrs):
+                            starts = rp[nbrs]
+                            offs = (
+                                np.arange(tot, dtype=np.int64)
+                                - np.repeat(np.cumsum(lens) - lens, lens)
+                                + np.repeat(starts, lens)
+                            )
+                            total += int(np.count_nonzero(mask[ci[offs]]))
+                        elif tot:
+                            for dk in nbrs:
+                                total += int(
+                                    np.count_nonzero(mask[ci[rp[dk] : rp[dk + 1]]])
+                                )
+                        mask[nbrs] = False
+            yield pd.DataFrame({"partial": [total]})
+
+        slices = self.spark.range(0, _k, 1, numPartitions=_k)
+        partials = slices.mapInPandas(kernel, schema=_KERNEL_SCHEMA)
+        row = partials.agg(
+            F.coalesce(F.sum("partial"), F.lit(0)).cast("long").alias("triangles")
+        ).collect()[0]
+        return int(row["triangles"])
+
+    def unpersist(self) -> None:
+        self._bc.unpersist()
+
+
+def _count_broadcast_csr(edges: DataFrame) -> DataFrame:
+    counter = BroadcastCSRTriangles(edges, assume_canonical=True)
+    t = counter.count()
+    return edges.sparkSession.createDataFrame([(t,)], "triangles long")
 
 
 STRATEGIES = ("sql", "join", "merge", "probe", "bcast", "auto")

@@ -27,6 +27,9 @@ def streaming_event_counts(
     than ``watermark`` behind the max event time are dropped, so state
     size is O(windows in flight), not O(stream length).
     """
+    # watermarks require TIMESTAMP (LTZ); parquet event-time columns often
+    # infer as TIMESTAMP_NTZ — normalize first
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
@@ -61,8 +64,11 @@ def run_event_stream_demo(spark, src_dir: str, out_dir: str, timeout_sec: int = 
     """Drive the windowed aggregate end-to-end with the file source reading
     parquet event files from ``src_dir`` → parquet sink. Returns rows
     written. Used by tests (file-source streaming is deterministic)."""
-    schema = spark.read.parquet(src_dir).schema
-    stream = spark.readStream.schema(schema).parquet(src_dir)
+    batch = spark.read.parquet(src_dir)
+    # the file source streams a DIRECTORY; stage single-file inputs
+    staged = f"{out_dir}/staged"
+    batch.write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(batch.schema).parquet(staged)
     agg = streaming_event_counts(stream)
     q = (
         agg.writeStream.outputMode("append")
