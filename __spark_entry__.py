@@ -131,6 +131,18 @@ def q_triangle_count_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_edges(spark, sf_dir), "probe", assume_canonical=True)
 
 
+def q_triangle_count_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triangle_counting_spark.operators.triangles import triangle_count
+
+    return triangle_count(_edges(spark, sf_dir), "level", assume_canonical=True)
+
+
+def q_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triangle_counting_spark.operators.triangles import triangle_count_estimate
+
+    return triangle_count_estimate(_edges(spark, sf_dir), p=0.5, seed=42)
+
+
 def q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     from triangle_counting_spark.operators.triangles import triangles_per_vertex
 
@@ -324,6 +336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_join": q_triangle_count_join,
         "triangle_count_merge": q_triangle_count_merge,
         "triangle_count_probe": q_triangle_count_probe,
+        "triangle_count_level": q_triangle_count_level,
+        "triangle_estimate": q_triangle_estimate,
         "triangles_per_vertex": q_triangles_per_vertex,
         "degrees": q_degrees,
         "degree_stats": q_degree_stats,
@@ -368,6 +382,7 @@ JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
         "triangle_count_join": tri_sql,
         "triangle_count_merge": tri_sql,
         "triangle_count_probe": tri_sql,
+        "triangle_count_level": tri_sql,
         "triangles_per_vertex": (
             "WITH "
             + EDGES_CTE

@@ -100,6 +100,6 @@ def test_strategies_agree_on_rmat(spark):
     e = rmat_edges(spark, scale=7, num_partitions=4).cache()
     counts = {
         s: triangle_count(e, s).collect()[0]["triangles"]
-        for s in ("sql", "join", "merge", "probe", "bcast")
+        for s in ("sql", "join", "merge", "probe", "bcast", "level")
     }
     assert len(set(counts.values())) == 1, counts

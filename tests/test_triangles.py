@@ -14,7 +14,7 @@ from triangle_counting_spark.operators.triangles import (
     wedge_count,
 )
 
-STRATEGIES = ["sql", "join", "merge", "probe", "bcast", "auto"]
+STRATEGIES = ["sql", "join", "merge", "probe", "bcast", "level", "auto"]
 
 
 @pytest.mark.parametrize("name", sorted(TINY))

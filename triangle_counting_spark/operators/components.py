@@ -52,16 +52,29 @@ def connected_components(
             .groupBy(F.col(DST).alias("v"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        return (
+        combined = (
             state.select("v", F.col("component").alias("component_prev"))
             .join(nbr_min, "v", "left")
             .select(
                 "v",
                 F.least(
                     "component_prev", F.coalesce("nbr_component", "component_prev")
-                ).alias("component"),
+                ).alias("c1"),
                 "component_prev",
             )
+        )
+        # pointer jumping (label := label[label]): pure hash-min needs
+        # O(diameter) rounds — a chain of 10^4 vertices would take 10^4
+        # shuffles; one extra |V|-sized self-join per round makes label
+        # paths halve each round → O(log diameter) total. Same fixpoint
+        # (min reachable id), just reached exponentially faster.
+        parent = state.select(
+            F.col("v").alias("c1"), F.col("component").alias("parent_component")
+        )
+        return combined.join(parent, "c1", "left").select(
+            "v",
+            F.least("c1", F.coalesce("parent_component", "c1")).alias("component"),
+            "component_prev",
         )
 
     def delta_fn(_old: DataFrame, new: DataFrame, _i: int) -> float:

@@ -274,7 +274,80 @@ def _count_broadcast_csr(edges: DataFrame) -> DataFrame:
     return edges.sparkSession.createDataFrame([(t,)], "triangles long")
 
 
-STRATEGIES = ("sql", "join", "merge", "probe", "bcast", "auto")
+def _count_level(edges: DataFrame) -> DataFrame:
+    """BFS-level-partitioned counting — the reference's namesake tc_bader
+    family (tc_bader, tc.c:1161-1196; compute-k planner input
+    tc.c:1120-1159).
+
+    Every triangle spans at most two adjacent BFS levels, so it has either
+    exactly 1 horizontal edge (apex on the neighboring level) or 3 (all one
+    level). Process ONLY horizontal edges: intersect the full adjacencies
+    of the endpoints and split common neighbors x by level —
+    c1 (level[x] != level, counts 1-horizontal triangles once) +
+    c2/3 (level[x] == level, counts all-horizontal triangles thrice) =
+    exact total. Demonstrates the statistic-driven alternative physical
+    plan; the planner keeps it for high-k graphs (hybrid cutover k > 0.7,
+    tc.c:1904).
+    """
+    from .adjacency import full_adjacency
+    from .bfs import bfs_levels
+
+    ce = edges  # caller passes canonical edges
+    levels = bfs_levels(ce)
+    lv = levels.select("v", "level")
+    l_src = lv.select(F.col("v").alias(SRC), F.col("level").alias("level_src"))
+    l_dst = lv.select(F.col("v").alias(DST), F.col("level").alias("level_dst"))
+    horiz = (
+        ce.join(l_src, SRC)
+        .join(l_dst, DST)
+        .where(F.col("level_src") == F.col("level_dst"))
+        .select(SRC, DST, F.col("level_src").alias("lev"))
+    )
+    adj = full_adjacency(ce)
+    a_src = adj.select(F.col("v").alias(SRC), F.col("nbrs").alias("nbrs_src"))
+    a_dst = adj.select(F.col("v").alias(DST), F.col("nbrs").alias("nbrs_dst"))
+    common = (
+        horiz.join(a_src, SRC)
+        .join(a_dst, DST)
+        .select(
+            "lev", F.explode(F.array_intersect("nbrs_src", "nbrs_dst")).alias("x")
+        )
+    )
+    l_x = lv.select(F.col("v").alias("x"), F.col("level").alias("level_x"))
+    counts = common.join(l_x, "x").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("level_x") != F.col("lev"), 1).otherwise(0)), F.lit(0)
+        ).alias("c1"),
+        F.coalesce(
+            F.sum(F.when(F.col("level_x") == F.col("lev"), 1).otherwise(0)), F.lit(0)
+        ).alias("c2"),
+    )
+    return counts.select(
+        (F.col("c1") + F.col("c2") / 3).cast("long").alias("triangles")
+    )
+
+
+def triangle_count_estimate(
+    edges: DataFrame, p: float = 0.1, seed: int = 42
+) -> DataFrame:
+    """Unbiased sampled estimate: count triangles on a p-sampled edge set,
+    scale by 1/p^3 (each triangle survives with probability p^3). The cheap
+    first look at a 100 TB graph before committing to the exact count; the
+    notebook's signature-sketch (ipynb cells 11-23) plays this role in the
+    reference. Deterministic in (p, seed) — sampling by hash, not rand()."""
+    ce = canonical_edges(edges)
+    sampled = ce.where(
+        (F.pmod(F.xxhash64(SRC, DST, F.lit(seed)), F.lit(1_000_000)) / 1_000_000.0)
+        < p
+    )
+    t = triangle_count(sampled, "sql", assume_canonical=True).collect()[0]["triangles"]
+    est = int(round(t / p**3))
+    return edges.sparkSession.createDataFrame(
+        [(est, int(t))], "triangles_estimate long, sampled_triangles long"
+    )
+
+
+STRATEGIES = ("sql", "join", "merge", "probe", "bcast", "level", "auto")
 
 
 def triangle_count(
@@ -307,6 +380,8 @@ def triangle_count(
         # orientation happens in-kernel (numpy); feed canonical edges
         count = _count_broadcast_csr(ce).collect()[0]["triangles"]
         return edges.sparkSession.createDataFrame([(int(count),)], "triangles long")
+    elif strategy == "level":
+        return _count_level(ce)
     elif strategy in _KERNELS:
         def fn(o, _k=strategy):
             return _count_kernel(o, _k)
