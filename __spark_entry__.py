@@ -323,6 +323,12 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id_heuristic(_t(spark, sf_dir, "documents"))
 
 
+def q_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triangle_counting_spark.functions.text import stopword_ratio
+
+    return stopword_ratio(_t(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact triangle count of the part co-occurrence graph at
     sf0.001 via degree-ordered orientation + intersection join."""
@@ -364,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
+        "stopword_ratio": q_stopword_ratio,
     }
 
 

@@ -14,10 +14,10 @@ correction-free family, tc.c:814-975), and every adjacency list is
 O(sqrt(m)) long, so the plan has no skew-prone task even on power-law
 graphs — the whole-game property at 100 TB.
 
-Physical strategies (the reference ships 5 intersection kernels,
-graph.c:276-459; we ship 4 — each is a different *physical* plan for the
-same logical query, selectable like the reference's function-pointer
-registry main.c:454-488):
+Physical strategies (the reference ships 5 intersection kernels plus the
+bader level family, graph.c:276-459 / tc.c:1161-1196; we ship 6 — each a
+different *physical* plan for the same logical query, selectable like the
+reference's function-pointer registry main.c:454-488):
 
 - "sql":    JVM `array_intersect` — whole-stage codegen, zero Python.
 - "join":   pure 3-way self-join  edges(a,b) ⋈ edges(b,c) ⋈ edges(a,c) —
@@ -27,6 +27,9 @@ registry main.c:454-488):
             spirit): sorted-array intersection per edge inside mapInPandas.
 - "probe":  Arrow-batched numpy binary-search kernel (graph.c:322-351):
             searchsorted probes of the smaller list into the larger.
+- "bcast":  broadcast-CSR strided-slice kernel (BroadcastCSRTriangles) —
+            zero shuffle; the fits-in-executor-memory tier.
+- "level":  BFS-level-partitioned counting (tc_bader, tc.c:1161-1196).
 
 Partial counts per Arrow batch + final sum = the reference's per-thread
 counter + OpenMP reduction (tc_parallel.c:10-50) in Spark's native
