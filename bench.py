@@ -55,6 +55,9 @@ def main() -> None:
     edges = cooccurrence_edges(lineitem, "l_orderkey", "l_partkey").persist()
     m = edges.count()
     times["edge_derivation"] = round(time.time() - t0, 3)
+    n_vertices = (
+        edges.select("src").union(edges.select(F.col("dst").alias("src"))).distinct().count()
+    )
 
     t0 = time.time()
     triangles = triangle_count(edges, "auto", assume_canonical=True).collect()[0]["triangles"]
@@ -111,12 +114,22 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "edges": m,
+        "vertices": n_vertices,
         "triangles": int(triangles),
         "edges_per_sec": round(m / tri_sec, 1) if tri_sec else None,
         "triangles_per_sec": round(triangles / tri_sec, 1) if tri_sec else None,
         "cpus": cpus,
     }
     spark.stop()
+    # reference-parity TSV rows (main.c:186-189 format:
+    # TC \t input \t n \t m \t name \t sec \t count) alongside the JSON line
+    tsv = os.environ.get("SPARK_GRAFT_TSV", "/tmp/bench_results.tsv")
+    n_verts = n_vertices
+    with open(tsv, "a") as f:
+        for name, sec in times.items():
+            f.write(
+                f"TC\t{sf_dir}\t{n_verts}\t{m}\t{name}\t{sec}\t{triangles}\t{cpus}\n"
+            )
     print(json.dumps(out))
 
 

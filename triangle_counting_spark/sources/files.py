@@ -77,8 +77,9 @@ def skew_fixture(
 ) -> DataFrame:
     """FIXTURES.md §6: one mega-repo with ``mega_files`` files + 500 repos
     of 3 files. Default expected triangles = C(2000,3) + 500 =
-    1,331,334,000,500 — exceeds uint32, proving 64-bit counters (the
-    reference's UINT_t would overflow, SURVEY.md §1.4)."""
+    1,331,334,500; use mega_files>=3000 (C(3000,3)+500 = 4,495,501,500)
+    to exceed uint32 and prove 64-bit counters (the reference's UINT_t
+    would overflow there, SURVEY.md §1.4)."""
     mega = spark.range(mega_files).select(
         F.lit("org/mega").alias("repo"),
         F.format_string("f_%04d.py", F.col("id")).alias("path"),
