@@ -323,6 +323,20 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id_heuristic(_t(spark, sf_dir, "documents"))
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triangle_counting_spark.functions.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+def q_connected_components_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triangle_counting_spark.operators.components import (
+        connected_components_blocked,
+    )
+
+    return connected_components_blocked(_edges(spark, sf_dir)).state
+
+
 def q_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from triangle_counting_spark.functions.text import stopword_ratio
 
@@ -371,6 +385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "stopword_ratio": q_stopword_ratio,
+        "embedding_neardup": q_embedding_neardup,
+        "connected_components_blocked": q_connected_components_blocked,
     }
 
 
@@ -600,4 +616,24 @@ FROM edges JOIN levels a ON edges.src = a.v JOIN levels b ON edges.dst = b.v"""
         ),
         "token_counts": """
 SELECT doc_id, len(string_split(text, ' '))::BIGINT AS ws_tokens FROM documents""",
+        "embedding_neardup": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+sims AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_cosine_similarity(a.emb, b.emb), 9) AS cs
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cs, 6) AS cos_sim FROM sims WHERE cs >= 0.35""",
+        "connected_components_blocked": (
+            "WITH RECURSIVE "
+            + EDGES_CTE
+            + """,
+reach(v, l) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT sym.dst, reach.l FROM sym JOIN reach ON sym.src = reach.v
+  WHERE reach.l < sym.dst
+)
+SELECT v, MIN(l)::BIGINT AS component FROM reach GROUP BY v"""
+        ),
     }

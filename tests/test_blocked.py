@@ -1,7 +1,27 @@
 from __future__ import annotations
 
 from tests.conftest import TINY, make_edges
+from triangle_counting_spark.operators.components import (
+    connected_components,
+    connected_components_blocked,
+)
 from triangle_counting_spark.operators.pagerank import pagerank, pagerank_blocked
+
+
+def test_blocked_cc_matches_shuffle(spark):
+    for name in ("two_triangles", "bowtie", "star5"):
+        e = make_edges(spark, TINY[name][0])
+        a = {r.v: r.component for r in connected_components(e).state.collect()}
+        b = {r.v: r.component for r in connected_components_blocked(e).state.collect()}
+        assert a == b, name
+
+
+def test_blocked_cc_long_path_few_rounds(spark):
+    e = make_edges(spark, [(i, i + 1) for i in range(199)])
+    res = connected_components_blocked(e, max_iter=6)
+    assert res.converged, f"took {res.iterations}"
+    assert res.iterations <= 4  # driver pointer jumping collapses the chain
+    assert {r.component for r in res.state.collect()} == {0}
 
 
 def test_blocked_matches_shuffle_pagerank(spark):

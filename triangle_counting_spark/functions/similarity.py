@@ -73,6 +73,29 @@ def brute_force_topk(
     )
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cos_sim) — embedding-cosine near-duplicate pairs,
+    exact all-pairs (the dedup-family baseline; at corpus scale route
+    through :func:`lsh_topk`-style bucketing instead). id_a < id_b."""
+    e = with_norm(df, vec_col).select(
+        F.col(id_col).alias("id"), F.col("_emb"), F.col("_norm")
+    )
+    a = e.select(F.col("id").alias("id_a"), F.col("_emb").alias("ea"), F.col("_norm").alias("na"))
+    b = e.select(F.col("id").alias("id_b"), F.col("_emb").alias("eb"), F.col("_norm").alias("nb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cs = F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 9)
+    return (
+        pairs.select("id_a", "id_b", cs.alias("cs"))
+        .where(F.col("cs") >= threshold)
+        .select("id_a", "id_b", F.round("cs", 6).alias("cos_sim"))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

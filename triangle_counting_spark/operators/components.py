@@ -99,6 +99,78 @@ def connected_components(
     return result
 
 
+def connected_components_blocked(
+    edges: DataFrame,
+    max_iter: int = 50,
+    n_blocks: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 10,
+    resume: bool = True,
+    assume_canonical: bool = False,
+) -> LoopResult:
+    """CSR-blocked hash-min — the broadcast-tier CC.
+
+    Per round the blocks gather min neighbor labels (np.minimum.reduceat);
+    the driver then pointer-jumps the label vector to a fixpoint for FREE
+    (label = label[label] is a pure numpy gather on the in-memory vector),
+    so full convergence typically takes 2-3 Spark rounds regardless of
+    diameter. Same min-id fixpoint as :func:`connected_components`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..plans.blocked import blocked_rounds, build_blocked
+    from .orientation import canonical_edges as _canon
+
+    spark = edges.sparkSession
+    ce = edges.select(SRC, DST) if assume_canonical else _canon(edges)
+    pdf = ce.toPandas()
+    if n_blocks is None:
+        n_blocks = max(spark.sparkContext.defaultParallelism, 1)
+    g = build_blocked(pdf, n_blocks)
+    n = len(g.verts)
+    if n == 0:
+        empty = spark.createDataFrame([], "v long, component long")
+        return LoopResult(state=empty, iterations=0, converged=True, delta=0.0)
+
+    def update(state, gathered):
+        new = np.minimum(state, np.where(np.isfinite(gathered), gathered, state))
+        # driver-side pointer jumping to the local fixpoint
+        idx = new.astype(np.int64)
+        while True:
+            nxt = new[idx]
+            if np.array_equal(nxt, new):
+                break
+            new = nxt
+            idx = new.astype(np.int64)
+        delta = float((new != state).sum())
+        return new, delta
+
+    state, iters, converged, metrics = blocked_rounds(
+        spark,
+        g,
+        np.arange(n, dtype=np.float64),
+        "min",
+        update,
+        tol=0.0,
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        fingerprint=f"cc_blocked|n={n}",
+        resume=resume,
+    )
+    out = spark.createDataFrame(
+        pd.DataFrame({"v": g.verts, "component": g.verts[state.astype(np.int64)]})
+    )
+    return LoopResult(
+        state=out,
+        iterations=iters,
+        converged=converged,
+        delta=metrics[-1]["delta"] if metrics else 0.0,
+        metrics=metrics,
+    )
+
+
 def component_sizes(edges: DataFrame, **kw) -> DataFrame:
     """(component, size) — handy summary + test surface."""
     labels = connected_components(edges, **kw).state
