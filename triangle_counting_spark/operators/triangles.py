@@ -215,17 +215,25 @@ class BroadcastCSRTriangles:
         rowptr[1:] = np.cumsum(np.bincount(os_, minlength=n))
         self.n = n
         self.m = m_in
-        self._bc = self.spark.sparkContext.broadcast((rowptr, od_))
+        # ship CSR as mmap'd .npy files, not a pickled broadcast: one
+        # page-cache copy per machine instead of one unpickled copy per
+        # python worker (see plans/blocked.py measurement at RMAT-20)
+        from ..plans.blocked import _ship_arrays
+
+        self._files = _ship_arrays(self.spark, {"rowptr": rowptr, "colind": od_})
 
     def count(self) -> int:
         """Run the probe kernel over the prebuilt broadcast CSR."""
-        bc = self._bc
+        files = self._files
         _k = max(self.spark.sparkContext.defaultParallelism * 4, 1)
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import numpy as np  # noqa: PLC0415
 
-            rp, ci = bc.value  # rowptr, colind (oriented dsts, sorted/row)
+            from triangle_counting_spark.plans.blocked import _load_arrays
+
+            arrs = _load_arrays(files)
+            rp, ci = arrs["rowptr"], arrs["colind"]
             nn = len(rp) - 1
             mask = np.zeros(nn, dtype=bool)
             total = 0
@@ -268,7 +276,7 @@ class BroadcastCSRTriangles:
         return int(row["triangles"])
 
     def unpersist(self) -> None:
-        self._bc.unpersist()
+        pass  # mmap'd files are cleaned with the Spark temp dirs
 
 
 def _count_broadcast_csr(edges: DataFrame) -> DataFrame:
