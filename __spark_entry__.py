@@ -194,6 +194,12 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation_fixed(_edges(spark, sf_dir), LP_ITERS)
 
 
+def q_label_propagation_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triangle_counting_spark.operators.labelprop import label_propagation_blocked
+
+    return label_propagation_blocked(_edges(spark, sf_dir), max_iter=LP_ITERS).state
+
+
 def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from triangle_counting_spark.operators.bfs import bfs_levels
 
@@ -365,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
+        "label_propagation_blocked": q_label_propagation_blocked,
         "bfs_levels": q_bfs_levels,
         "heavy_light_edges": q_heavy_light_edges,
         "dedup_exact": q_dedup_exact,
@@ -452,6 +459,7 @@ reach(v, l) AS (
 SELECT v, MIN(l)::BIGINT AS component FROM reach GROUP BY v"""
         ),
         "label_propagation": _labelprop_sql(),
+        "label_propagation_blocked": _labelprop_sql(),
         "bfs_levels": (
             "WITH RECURSIVE "
             + EDGES_CTE

@@ -16,6 +16,22 @@ def test_blocked_cc_matches_shuffle(spark):
         assert a == b, name
 
 
+def test_blocked_lp_matches_shuffle(spark):
+    from triangle_counting_spark.operators.labelprop import (
+        label_propagation,
+        label_propagation_blocked,
+    )
+
+    for name in ("two_triangles", "K5", "bowtie", "path4"):
+        e = make_edges(spark, TINY[name][0])
+        a = {r.v: r.label for r in label_propagation(e, max_iter=7).state.collect()}
+        b = {
+            r.v: r.label
+            for r in label_propagation_blocked(e, max_iter=7).state.collect()
+        }
+        assert a == b, name
+
+
 def test_blocked_cc_long_path_few_rounds(spark):
     e = make_edges(spark, [(i, i + 1) for i in range(199)])
     res = connected_components_blocked(e, max_iter=6)
