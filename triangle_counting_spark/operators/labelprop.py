@@ -104,7 +104,7 @@ def label_propagation_blocked(
     import numpy as np
     import pandas as pd
 
-    from ..plans.blocked import _load_arrays, _ship_arrays, build_blocked
+    from ..plans.blocked import _ship_arrays, build_blocked
     from .orientation import canonical_edges as _canon
 
     spark = edges.sparkSession
@@ -123,7 +123,13 @@ def label_propagation_blocked(
 
     def make_round(bc_state, _k):
         def fn(batches):
-            arrs = _load_arrays(files)
+            from pyspark import SparkFiles  # noqa: PLC0415
+            import numpy as np  # noqa: PLC0415
+
+            arrs = {
+                name: np.asarray(np.load(SparkFiles.get(f), mmap_mode="r"))
+                for name, f in files.items()
+            }
             s_, d_, bounds = arrs["src"], arrs["dst"], arrs["bounds"]
             vec = bc_state.value
             for b in batches:

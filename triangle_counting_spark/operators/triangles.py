@@ -229,11 +229,10 @@ class BroadcastCSRTriangles:
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import numpy as np  # noqa: PLC0415
+            from pyspark import SparkFiles  # noqa: PLC0415
 
-            from triangle_counting_spark.plans.blocked import _load_arrays
-
-            arrs = _load_arrays(files)
-            rp, ci = arrs["rowptr"], arrs["colind"]
+            rp = np.asarray(np.load(SparkFiles.get(files["rowptr"]), mmap_mode="r"))
+            ci = np.asarray(np.load(SparkFiles.get(files["colind"]), mmap_mode="r"))
             nn = len(rp) - 1
             mask = np.zeros(nn, dtype=bool)
             total = 0

@@ -135,7 +135,16 @@ def blocked_rounds(
 
     def make_round(bc_state):
         def fn(batches):
-            arrs = _load_arrays(graph_files)
+            # load inline (NOT via the module-level helper): module
+            # functions pickle by reference and would require the package
+            # on every worker's import path
+            from pyspark import SparkFiles  # noqa: PLC0415
+            import numpy as np  # noqa: PLC0415
+
+            arrs = {
+                name: np.asarray(np.load(SparkFiles.get(f), mmap_mode="r"))
+                for name, f in graph_files.items()
+            }
             s_, d_, bounds = arrs["src"], arrs["dst"], arrs["bounds"]
             w_ = arrs.get("weight")
             vec = bc_state.value
