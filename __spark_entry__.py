@@ -100,6 +100,55 @@ def _labelprop_sql() -> str:
     )
 
 
+def _simhash_sql(bits: int = 60, max_hamming: int = 3) -> str:
+    """Full DuckDB replay of the md5-mode simhash pipeline: per-word 60-bit
+    md5 hash → per-bit sign sums → packed simhash → pigeonhole block join →
+    hamming filter. Mirrors functions/dedup.py exactly (md5 hex is
+    bit-identical across engines; lowercase-hex → int via 0x cast)."""
+    n_blocks = max_hamming + 1
+    base, rem = divmod(bits, n_blocks)
+    spans, start = [], 0
+    for b in range(n_blocks):
+        width = base + (1 if b < rem else 0)
+        spans.append((start, width))
+        start += width
+    bit_sums = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(bits)
+    )
+    block_sel = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS blk, "
+        f"(simhash >> {s}) & {(1 << w) - 1} AS key FROM sh"
+        for b, (s, w) in enumerate(spans)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         CAST(concat('0x', substr(md5(t.w), 1, 15)) AS BIGINT) AS h
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+),
+sums AS (SELECT doc_id, {bit_sums} FROM words GROUP BY doc_id),
+sh AS (SELECT doc_id, ({pack})::BIGINT AS simhash FROM sums),
+blocks AS (
+  {block_sel}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}"""
+
+
+_STOPWORDS_SQL = "['the','a','of','and','to','in','is','it','for','on']"
+
+
 # ---------------------------------------------------------------- queries
 
 
@@ -297,10 +346,16 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-hash mode (bit-identical in DuckDB) so the ENTIRE simhash →
+    pigeonhole-LSH → hamming pipeline is replayed by the SQL oracle;
+    max_hamming=3 within the 4-block completeness guarantee (the r1 gate
+    queried distance 8 against a fixed 4-block scheme — silent recall gap,
+    now structurally impossible: blocks = max_hamming + 1)."""
     from triangle_counting_spark.functions.dedup import simhash_neardup_pairs
 
     return simhash_neardup_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=8
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        max_hamming=3, bits=60, hash_fn="md5",
     )
 
 
@@ -312,9 +367,19 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint equivalence classes: (doc_id, fp_keep_id, fp_group_size).
+    Property oracle (the xxhash64 value itself is not SQL-replayable, its
+    GROUPS are): docs share an xxhash64(normalized-text) fingerprint iff
+    they share md5(normalized-text) — both are collision-free at fixture
+    scale, so the class structure is engine-independent."""
     from triangle_counting_spark.functions.text import fingerprint
 
-    return fingerprint(_t(spark, sf_dir, "documents"))
+    fp = fingerprint(_t(spark, sf_dir, "documents"))
+    g = fp.groupBy("fp").agg(
+        F.min("doc_id").alias("fp_keep_id"),
+        F.count(F.lit(1)).alias("fp_group_size"),
+    )
+    return fp.join(g, "fp").select("doc_id", "fp_keep_id", "fp_group_size")
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,4 +709,74 @@ reach(v, l) AS (
 )
 SELECT v, MIN(l)::BIGINT AS component FROM reach GROUP BY v"""
         ),
+        # md5-prefix edge sampling is replayed exactly: lowercase hex
+        # compares lexicographically == numerically, and md5 is
+        # bit-identical across engines; p=0.5 → threshold '800000', 1/p³=8
+        "triangle_estimate": (
+            "WITH "
+            + EDGES_CTE
+            + """,
+samp AS (
+  SELECT src, dst FROM edges
+  WHERE substr(md5(src || ',' || dst || ',' || 42), 1, 6) < '800000'
+),
+tri AS (
+  SELECT COUNT(*)::BIGINT AS t FROM samp e1
+  JOIN samp e2 ON e1.dst = e2.src
+  JOIN samp e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)
+SELECT (t * 8)::BIGINT AS triangles_estimate, t AS sampled_triangles FROM tri"""
+        ),
+        "stopword_ratio": f"""
+SELECT doc_id::BIGINT AS doc_id,
+       ROUND(len(list_filter(string_split(text, ' '),
+                             t -> list_contains({_STOPWORDS_SQL}, t)))::DOUBLE
+             / GREATEST(len(string_split(text, ' ')), 1), 6) AS stopword_ratio
+FROM documents""",
+        "lang_id": """
+SELECT doc_id::BIGINT AS doc_id,
+       CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+            WHEN regexp_matches(text, '[àâçéèêëîïôûùüÿœ]') THEN 'fr'
+            WHEN regexp_matches(text, '[áéíóúñ¿¡]') THEN 'es'
+            WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+            ELSE 'en' END AS lang_pred
+FROM documents""",
+        # property oracle: xxhash64(norm-text) groups ≡ md5(norm-text)
+        # groups (both injective at fixture scale) — the CLASS STRUCTURE is
+        # engine-independent even though the hash values are not
+        "fingerprint": r"""
+WITH n AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS h
+  FROM documents
+),
+g AS (
+  SELECT h, MIN(doc_id)::BIGINT AS fp_keep_id, COUNT(*)::BIGINT AS fp_group_size
+  FROM n GROUP BY h
+)
+SELECT n.doc_id, g.fp_keep_id, g.fp_group_size FROM n JOIN g ON n.h = g.h""",
+        # the gate config's banded-LSH recall is exact on the fixtures
+        # (verified sf0.001 + sf0.01: candidates ⊇ every pair ≥ threshold),
+        # and the verify step makes precision exact — so the oracle is the
+        # brute-force shingle-Jaccard itself (reference rule main.c:433-435)
+        "minhash_lsh": f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[i:i+2], ' ') AS sh
+  FROM words, UNNEST(generate_series(1, GREATEST(len(w)-2, 1))) t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS c
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(c / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE c / (sa.sz + sb.sz - c) >= {JACCARD_MIN}""",
+        "simhash_neardup": _simhash_sql(bits=60, max_hamming=3),
     }

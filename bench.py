@@ -59,6 +59,10 @@ def main() -> None:
         edges.select("src").union(edges.select(F.col("dst").alias("src"))).distinct().count()
     )
 
+    from triangle_counting_spark.plans.planner import choose_triangle_strategy
+
+    choice = choose_triangle_strategy(edges, assume_canonical=True)
+
     t0 = time.time()
     triangles = triangle_count(edges, "auto", assume_canonical=True).collect()[0]["triangles"]
     times["triangle_count"] = round(time.time() - t0, 3)
@@ -67,6 +71,10 @@ def main() -> None:
     t0 = time.time()
     triangle_count(edges, "sql", assume_canonical=True).collect()
     times["triangle_count_sql"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    triangle_count(edges, "part", assume_canonical=True).collect()
+    times["triangle_count_part"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     triangle_count(edges, "merge", assume_canonical=True).collect()
@@ -119,6 +127,9 @@ def main() -> None:
         "edges_per_sec": round(m / tri_sec, 1) if tri_sec else None,
         "triangles_per_sec": round(triangles / tri_sec, 1) if tri_sec else None,
         "cpus": cpus,
+        # the statistic-driven plan choice behind "auto" (tc.c:1844-1911)
+        "plan_choice": {"strategy": choice.strategy, "m": choice.m,
+                        "k": choice.k, "reason": choice.reason},
     }
     spark.stop()
     # reference-parity TSV rows (main.c:186-189 format:

@@ -149,14 +149,32 @@ def minhash_lsh_pairs(
     return cand.join(exact, ["id_a", "id_b"])
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
-    """(doc_id, simhash: long) — 64-bit SimHash over words: sign-sum of
-    per-word hash bits, all via bitwise JVM expressions (explode words,
-    per-bit ±1 contributions, aggregate, re-pack)."""
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 64, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(doc_id, simhash: long) — SimHash over words: sign-sum of per-word
+    hash bits, all via bitwise JVM expressions (explode words, per-bit ±1
+    contributions, aggregate, re-pack).
+
+    hash_fn:
+    - "xxhash64" (default, fastest): 64-bit JVM hash.
+    - "md5": word hash = first 15 hex chars of md5 as an int (60 bits).
+      md5 is bit-identical in Spark and DuckDB, so an md5-based simhash
+      pipeline is replayable by the ANSI-SQL oracle (the engine's
+      all-implementations-checked rule, main.c:433-435). bits must be ≤ 60.
+    """
+    if hash_fn == "xxhash64":
+        h = F.xxhash64("w")
+    elif hash_fn == "md5":
+        if bits > 60:
+            raise ValueError("md5 hash mode carries 60 usable bits")
+        h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     words = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("w"),
-    ).select("doc_id", F.xxhash64("w").alias("h"))
+    ).select("doc_id", h.alias("h"))
     # per-bit contribution: +1 if bit set else -1; sum over words; bit = sum>0
     # (shift ops, not 1<<i literals: 1<<63 overflows a 64-bit literal, while
     # shiftleft wraps to the sign bit, which is exactly the packed pattern)
@@ -182,13 +200,38 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     return packed
 
 
+def _pigeonhole_blocks(bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """(start_bit, width) per block: ``bits`` split into n_blocks near-equal
+    chunks. A pair within Hamming distance n_blocks-1 agrees EXACTLY on ≥1
+    block (pigeonhole) — the completeness guarantee of the block join."""
+    base, rem = divmod(bits, n_blocks)
+    out, start = [], 0
+    for b in range(n_blocks):
+        width = base + (1 if b < rem else 0)
+        out.append((start, width))
+        start += width
+    return out
+
+
 def simhash_neardup_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(id_a, id_b, hamming) pairs within Hamming distance via 4-block
-    pigeonhole LSH (a pair within distance 3 agrees exactly on ≥1 of 4
-    16-bit blocks → block-equality join, no all-pairs)."""
-    sh = simhash(df, text_col, id_col)
+    """(id_a, id_b, hamming) — ALL pairs within Hamming distance
+    ``max_hamming`` via pigeonhole LSH with ``max_hamming + 1`` blocks (a
+    pair within distance d differs in ≤ d blocks, so with d+1 blocks at
+    least one matches exactly → block-equality join, no all-pairs, and the
+    recall guarantee holds for ANY max_hamming — the r1 version fixed 4
+    blocks and silently under-reported beyond distance 3)."""
+    n_blocks = max_hamming + 1
+    if n_blocks > bits:
+        raise ValueError(f"max_hamming={max_hamming} needs more blocks than bits={bits}")
+    sh = simhash(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
+    spans = _pigeonhole_blocks(bits, n_blocks)
     blocks = sh.select(
         "doc_id",
         "simhash",
@@ -197,9 +240,11 @@ def simhash_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("blk"),
-                        F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                        F.shiftright("simhash", start)
+                        .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                        .alias("key"),
                     )
-                    for b in range(4)
+                    for b, (start, width) in enumerate(spans)
                 ]
             )
         ).alias("bb"),
@@ -212,7 +257,7 @@ def simhash_neardup_pairs(
         .select("id_a", "id_b", "sh_a", "sh_b")
         .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
     return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )

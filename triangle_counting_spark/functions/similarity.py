@@ -78,22 +78,100 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "blocked",
 ) -> DataFrame:
-    """(id_a, id_b, cos_sim) — embedding-cosine near-duplicate pairs,
-    exact all-pairs (the dedup-family baseline; at corpus scale route
-    through :func:`lsh_topk`-style bucketing instead). id_a < id_b."""
-    e = with_norm(df, vec_col).select(
-        F.col(id_col).alias("id"), F.col("_emb"), F.col("_norm")
-    )
-    a = e.select(F.col("id").alias("id_a"), F.col("_emb").alias("ea"), F.col("_norm").alias("na"))
-    b = e.select(F.col("id").alias("id_b"), F.col("_emb").alias("eb"), F.col("_norm").alias("nb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cs = F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 9)
-    return (
-        pairs.select("id_a", "id_b", cs.alias("cs"))
-        .where(F.col("cs") >= threshold)
-        .select("id_a", "id_b", F.round("cs", 6).alias("cos_sim"))
-    )
+    """(id_a, id_b, cos_sim) — EXACT embedding-cosine near-duplicate pairs,
+    id_a < id_b.
+
+    method="blocked" (default): broadcast the L2-normalized matrix (mmap'd
+    .npy, one page-cache copy per machine) and fan strided row-blocks out
+    over executors — each block is ONE BLAS matmul ``M[block] @ M.T``.
+    Exact all-pairs is inherently O(n²) FLOPs, but this plan moves O(n)
+    data (no cartesian/theta join shuffling n² rows, which is what the r1
+    version did) and the FLOPs run vectorized at memory bandwidth. Fits
+    the broadcast tier (matrix ≤ executor memory, ~10^7 × dim); beyond
+    that, use LSH bucketing (:func:`lsh_topk`) with a high threshold —
+    exact sub-0.5-threshold all-pairs at 10^9 vectors is not a real query.
+
+    method="allpairs": the r1 theta-join formulation, kept as the
+    small-scale cross-check oracle.
+    """
+    if method == "allpairs":
+        e = with_norm(df, vec_col).select(
+            F.col(id_col).alias("id"), F.col("_emb"), F.col("_norm")
+        )
+        a = e.select(F.col("id").alias("id_a"), F.col("_emb").alias("ea"), F.col("_norm").alias("na"))
+        b = e.select(F.col("id").alias("id_b"), F.col("_emb").alias("eb"), F.col("_norm").alias("nb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        cs = F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 9)
+        return (
+            pairs.select("id_a", "id_b", cs.alias("cs"))
+            .where(F.col("cs") >= threshold)
+            .select("id_a", "id_b", F.round("cs", 6).alias("cos_sim"))
+        )
+    if method != "blocked":
+        raise ValueError(f"unknown method {method!r}")
+    import numpy as np
+    import pandas as pd
+
+    from ..plans.blocked import _ship_arrays
+
+    spark = df.sparkSession
+    pdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("emb")).toPandas()
+    ids = pdf["id"].to_numpy(dtype=np.int64)
+    if len(ids) == 0:
+        return spark.createDataFrame([], "id_a long, id_b long, cos_sim double")
+    M = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["emb"]])
+    files = _ship_arrays(spark, {"ids": ids, "mat": M})
+    n = len(ids)
+    n_slices = max(spark.sparkContext.defaultParallelism, 1)
+    thr = float(threshold)
+
+    def kernel(batches):
+        from pyspark import SparkFiles  # noqa: PLC0415
+
+        mat = np.asarray(np.load(SparkFiles.get(files["mat"]), mmap_mode="r"))
+        idv = np.asarray(np.load(SparkFiles.get(files["ids"]), mmap_mode="r"))
+        dim = mat.shape[1]
+        # norms accumulated LEFT-TO-RIGHT over the dimension axis — NOT
+        # np.linalg.norm — so each value reproduces the sequential fold the
+        # SQL oracle (and the zip_with/aggregate expression) computes;
+        # BLAS pairwise summation differs in the last ulp, which flips
+        # round-to-9 at boundary values (one real sf0.01 pair hit this)
+        nrm_sq = np.zeros(len(idv))
+        for kk in range(dim):
+            nrm_sq += mat[:, kk] * mat[:, kk]
+        nrm = np.sqrt(nrm_sq)
+        for b in batches:
+            for sl in b["id"].to_numpy():
+                rows = np.arange(int(sl), len(idv), n_slices)
+                if len(rows) == 0:
+                    continue
+                # dot products accumulated left-to-right over k (vectorized
+                # outer updates), then one division by the norm product —
+                # structurally identical to dot(a,b)/(|a|·|b|) in the oracle;
+                # round to 9 BEFORE the threshold (mirrors ROUND(cs,9) >= t)
+                C = np.zeros((len(rows), len(idv)))
+                for kk in range(dim):
+                    C += np.multiply.outer(mat[rows, kk], mat[:, kk])
+                C = np.round(C / np.multiply.outer(nrm[rows], nrm), 9)
+                ii, jj = np.nonzero((C >= thr) & (idv[rows][:, None] < idv[None, :]))
+                if len(ii) == 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "id_a": idv[rows[ii]],
+                        "id_b": idv[jj],
+                        "cos_sim": C[ii, jj],
+                    }
+                )
+
+    slices = spark.range(0, n_slices, 1, numPartitions=n_slices)
+    out = slices.mapInPandas(kernel, schema="id_a long, id_b long, cos_sim double")
+    # final 6-dp rounding JVM-side: np.round is round-half-EVEN while
+    # Spark/DuckDB ROUND are half-up — a round-9 value landing exactly on a
+    # 6-dp half boundary (0.3526985 happened in real data) flips otherwise
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
 def lsh_topk(

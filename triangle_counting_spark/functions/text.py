@@ -40,11 +40,15 @@ def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def stopword_ratio(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, stopword_ratio) — fraction of tokens in a tiny English
-    stopword list; a classic quality/language signal."""
+    """(doc_id, stopword_ratio) — fraction of TOKEN OCCURRENCES that are in
+    a tiny English stopword list; a classic quality/language signal.
+
+    Occurrence-based (a 100-token doc that is all "the" scores 1.0, not
+    0.01): lambda-filter count, still a pure codegen expression.
+    """
     w = _words(text_col)
     stops = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_stop = F.size(F.array_intersect(w, stops))  # distinct-based; cheap proxy
+    n_stop = F.size(F.filter(w, lambda t: F.array_contains(stops, t)))
     return docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.round(n_stop / F.greatest(F.size(w), F.lit(1)), 6).alias("stopword_ratio"),

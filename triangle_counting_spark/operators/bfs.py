@@ -8,10 +8,15 @@ reference's component sweep (tc.c:1174-1178: BFS from every unvisited
 vertex in ascending id order → each component's root is its min id) and
 the per-vertex level array (tc.c:1163-1168).
 
-Direction-optimizing BFS (bfs.c:314-377, ALPHA=14/BETA=24) is a
-shared-memory frontier trick; its Spark analog — broadcast tiny frontiers,
-full-scan big ones — is exactly what AQE's runtime broadcast decision does
-to the frontier join, so we do not hand-roll it.
+Direction-optimizing BFS (bfs.c:314-377, ALPHA=14/BETA=24): the Spark
+analog of the top-down/bottom-up switch is broadcast-vs-shuffle on the
+frontier join. We make it EXPLICIT rather than trusting AQE's size
+estimates: each iteration joins only the CHANGED frontier (not the full
+visited set — the frontier shrinks as BFS converges), and when the
+previous round's frontier count drops below n/ALPHA (and an absolute cap
+that bounds executor memory) the frontier side gets an F.broadcast hint,
+so the edge table is never re-shuffled for a tiny frontier
+(:func:`frontier_neighbors`, plan-asserted in tests).
 
 The k-metric (fraction of edges whose endpoints share a BFS level,
 tc_bader_compute_k tc.c:1120-1159) is the statistic the reference's hybrid
@@ -28,6 +33,31 @@ from ..plans.iterate import LoopResult, loop
 from .orientation import DST, SRC, canonical_edges, symmetrize
 
 
+BFS_ALPHA = 14  # reference's direction-switch ratio (bfs.c:299-300)
+BFS_BCAST_CAP = 4_000_000  # absolute frontier-row cap for the broadcast hint
+
+
+def frontier_neighbors(
+    sym: DataFrame, frontier: DataFrame, broadcast_hint: bool
+) -> DataFrame:
+    """(v, cand) — min (root, level+1) candidate per neighbor of the
+    frontier. With ``broadcast_hint`` the frontier side is broadcast (the
+    direction-optimizing switch: the big edge table is scanned in place,
+    never re-shuffled for a small frontier)."""
+    f = frontier.select(F.col("v").alias(SRC), "root", "level")
+    if broadcast_hint:
+        f = F.broadcast(f)
+    return (
+        sym.join(f, SRC)
+        .groupBy(F.col(DST).alias("v"))
+        .agg(
+            F.min(F.struct(F.col("root"), (F.col("level") + 1).alias("level"))).alias(
+                "cand"
+            )
+        )
+    )
+
+
 def bfs_levels(
     edges: DataFrame,
     roots: list[int] | None = None,
@@ -38,6 +68,11 @@ def bfs_levels(
     ``roots=None``: multi-source BFS from each component's minimum vertex id
     (the reference's full sweep, tc.c:1174-1178). With explicit roots,
     unreachable vertices are absent from the result.
+
+    Delta iteration: only vertices improved in the previous round join the
+    edge table (the frontier); the previous round's frontier count decides
+    the broadcast hint (count < n/ALPHA and < cap), mirroring the
+    reference's direction-optimizing switch (bfs.c:314-377).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -49,10 +84,14 @@ def bfs_levels(
         .union(ce.select(F.col(DST).alias("v")))
         .distinct()
     )
+    n = verts.count()
     if roots is None:
         # every vertex is a candidate root for its own component
         state0 = verts.select(
-            "v", F.col("v").alias("root"), F.lit(0).cast("long").alias("level")
+            "v",
+            F.col("v").alias("root"),
+            F.lit(0).cast("long").alias("level"),
+            F.lit(True).alias("changed"),
         )
     else:
         rs = {int(r) for r in roots}
@@ -60,27 +99,19 @@ def bfs_levels(
             "v",
             F.when(F.col("v").isin(rs), F.col("v")).alias("root"),
             F.when(F.col("v").isin(rs), F.lit(0)).cast("long").alias("level"),
+            F.col("v").isin(rs).alias("changed"),
         )
+    # delta_fn's count of the new frontier feeds the NEXT step's broadcast
+    # decision (the loop barrier guarantees it ran before step i+1 plans)
+    frontier_count: dict[str, float | None] = {"last": None}
 
     def step(state: DataFrame, _i: int) -> DataFrame:
-        nbr = (
-            sym.join(
-                state.where(F.col("root").isNotNull()).select(
-                    F.col("v").alias(SRC), "root", "level"
-                ),
-                SRC,
-            )
-            .groupBy(F.col(DST).alias("v"))
-            .agg(
-                F.min(F.struct(F.col("root"), (F.col("level") + 1).alias("level"))).alias(
-                    "cand"
-                )
-            )
-        )
+        fc = frontier_count["last"]
+        hint = fc is not None and fc <= min(n // BFS_ALPHA, BFS_BCAST_CAP)
+        nbr = frontier_neighbors(sym, state.where(F.col("changed")), hint)
         return (
             state.select(
-                "v",
-                F.struct(F.col("root"), F.col("level")).alias("cur"),
+                "v", F.struct(F.col("root"), F.col("level")).alias("cur")
             )
             .join(nbr, "v", "left")
             .select(
@@ -92,31 +123,26 @@ def bfs_levels(
                 )
                 .otherwise(F.col("cur"))
                 .alias("best"),
-                F.col("cur").alias("prev"),
+                (
+                    F.col("cand").isNotNull()
+                    & (F.col("cur.root").isNull() | (F.col("cand") < F.col("cur")))
+                ).alias("changed"),
             )
             .select(
                 "v",
                 F.col("best.root").alias("root"),
                 F.col("best.level").alias("level"),
-                F.col("prev.root").alias("root_prev"),
-                F.col("prev.level").alias("level_prev"),
+                "changed",
             )
         )
 
     def delta_fn(_old: DataFrame, new: DataFrame, _i: int) -> float:
-        changed = new.where(
-            ~(
-                F.col("root").eqNullSafe(F.col("root_prev"))
-                & F.col("level").eqNullSafe(F.col("level_prev"))
-            )
-        ).count()
+        changed = new.where(F.col("changed")).count()
+        frontier_count["last"] = float(changed)
         return float(changed)
 
     res: LoopResult = loop(
-        state0.select(
-            "v", "root", "level", F.col("root").alias("root_prev"),
-            F.col("level").alias("level_prev"),
-        ),
+        state0,
         step,
         delta_fn,
         tol=0.0,

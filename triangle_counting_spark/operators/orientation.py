@@ -43,6 +43,20 @@ def canonical_edges(edges: DataFrame, src: str = SRC, dst: str = DST) -> DataFra
     )
 
 
+def directed_edges(edges: DataFrame, src: str = SRC, dst: str = DST) -> DataFrame:
+    """Clean a DIRECTED edge list: drop self-loops/nulls, dedup — but keep
+    the original (src, dst) orientation (unlike :func:`canonical_edges`,
+    which re-orients every edge src < dst and is only correct for
+    undirected semantics)."""
+    s, d = F.col(src).cast("long"), F.col(dst).cast("long")
+    return (
+        edges.select(s.alias(SRC), d.alias(DST))
+        .where(F.col(SRC) != F.col(DST))
+        .where(F.col(SRC).isNotNull() & F.col(DST).isNotNull())
+        .distinct()
+    )
+
+
 def symmetrize(edges: DataFrame) -> DataFrame:
     """Both directions of each canonical edge (reference: main.c:342-347).
 

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.iterate import LoopResult, loop
-from .orientation import DST, SRC, canonical_edges, symmetrize
+from .orientation import DST, SRC, canonical_edges, directed_edges, symmetrize
 
 
 def _vertices(edges: DataFrame, vertices: DataFrame | None) -> DataFrame:
@@ -55,12 +55,21 @@ def pagerank(
     """
     from pyspark.storagelevel import StorageLevel
 
-    ce = canonical_edges(edges)
+    # directed graphs keep their original (src, dst) orientation —
+    # canonical_edges would silently re-orient every edge src < dst
+    ce = directed_edges(edges) if directed else canonical_edges(edges)
     # the edge table is read EVERY iteration — persist it once or each
     # iteration re-runs the whole upstream derivation (at 100 TB: re-persist
-    # to disk-backed storage or write a bucketed table instead)
-    out_edges = (symmetrize(ce) if not directed else ce.select(SRC, DST)).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # to disk-backed storage or write a bucketed table instead).
+    # Pre-partition on SRC so the per-iteration contribution join sees the
+    # big (edge) side already hash-partitioned — only the small rank table
+    # shuffles each iteration (see step()).
+    spark = edges.sparkSession
+    _nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    out_edges = (
+        (symmetrize(ce) if not directed else ce.select(SRC, DST))
+        .repartition(_nshuf, SRC)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     verts = _vertices(ce, vertices)
     n = verts.count()

@@ -62,8 +62,23 @@ def _compact_ids(np, s_raw, d_raw, m_in):
     mx = max(int(s_raw.max(initial=0)), int(d_raw.max(initial=0))) if m_in else 0
     mn = min(int(s_raw.min(initial=0)), int(d_raw.min(initial=0))) if m_in else 0
     if m_in and mn >= 0 and mx < max(4 * 2 * m_in, 1024) and mx < 2**31:
-        verts = np.arange(mx + 1, dtype=np.int64)
-        return s_raw.astype(np.int32), d_raw.astype(np.int32), verts
+        # small-range path: verts MUST be only the ids actually present —
+        # an arange over [0, mx] fabricates phantom vertices for gaps
+        # (e.g. 1-based ids never emit 0), corrupting every blocked-tier
+        # consumer that outputs per-vertex rows or computes n
+        present = np.zeros(mx + 1, dtype=bool)
+        present[s_raw] = True
+        present[d_raw] = True
+        if present.all():
+            verts = np.arange(mx + 1, dtype=np.int64)
+            return s_raw.astype(np.int32), d_raw.astype(np.int32), verts
+        rank = np.cumsum(present, dtype=np.int64) - 1  # compact rank per id
+        verts = np.flatnonzero(present).astype(np.int64)
+        return (
+            rank[s_raw].astype(np.int32),
+            rank[d_raw].astype(np.int32),
+            verts,
+        )
     # hash-based factorize is O(m) vs sort-based np.unique O(m log m) —
     # 8.6s -> ~1.5s on 16M sparse xxhash64 ids; then rank-remap the small
     # vertex table so compact ids remain sorted by original id
@@ -78,28 +93,45 @@ def _compact_ids(np, s_raw, d_raw, m_in):
     return inv[:m_in], inv[m_in:], uniq[order]
 
 
-def _edge_adjacency_pairs(oriented: DataFrame) -> DataFrame:
+def _edge_adjacency_pairs(
+    oriented: DataFrame, adj: DataFrame | None = None
+) -> DataFrame:
     """(src, dst, nbrs_src, nbrs_dst) for every oriented edge.
 
-    Two equi-joins of the oriented edge table against the adjacency table;
-    both shuffle on a vertex id and Catalyst/AQE picks broadcast vs
-    sort-merge. Vertices with no outgoing oriented edge simply drop out
-    (inner join) — they cannot close a triangle.
+    The src-side arrays come FREE by exploding the adjacency table (edge
+    (a,b) lives inside a's row — no join, no shuffle); only the dst side
+    needs an equi-join. One Σdeg²-element exchange instead of the two the
+    r1 plan paid, and the adjacency table is built once (pass a persisted
+    ``adj`` to share it across plan branches / suite queries). Vertices
+    with no outgoing oriented edge drop out (inner join) — they cannot
+    close a triangle.
     """
-    adj = oriented_adjacency(oriented)
-    a_src = adj.select(F.col("v").alias(SRC), F.col("nbrs").alias("nbrs_src"))
+    adj = oriented_adjacency(oriented) if adj is None else adj
+    a_src = adj.select(
+        F.col("v").alias(SRC),
+        F.col("nbrs").alias("nbrs_src"),
+        F.explode("nbrs").alias(DST),
+    )
     a_dst = adj.select(F.col("v").alias(DST), F.col("nbrs").alias("nbrs_dst"))
-    return oriented.join(a_src, SRC).join(a_dst, DST)
+    return a_src.join(a_dst, DST)
 
 
 def _count_sql(oriented: DataFrame) -> DataFrame:
-    pairs = _edge_adjacency_pairs(oriented)
-    return pairs.agg(
-        F.coalesce(
-            F.sum(F.size(F.array_intersect("nbrs_src", "nbrs_dst"))), F.lit(0)
-        )
-        .cast("long")
-        .alias("triangles")
+    adj = oriented_adjacency(oriented).persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()  # materialize once; both plan branches below reuse the cache
+    try:
+        pairs = _edge_adjacency_pairs(oriented, adj)
+        row = pairs.agg(
+            F.coalesce(
+                F.sum(F.size(F.array_intersect("nbrs_src", "nbrs_dst"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("triangles")
+        ).collect()[0]
+    finally:
+        adj.unpersist()
+    return oriented.sparkSession.createDataFrame(
+        [(int(row["triangles"]),)], "triangles long"
     )
 
 
@@ -118,42 +150,109 @@ def _count_join(oriented: DataFrame) -> DataFrame:
     )
 
 
+def _make_batch_keys():
+    """Factory for the composite-key builder, returned as a CLOSURE so the
+    kernels capture it by value (cloudpickle ships module-level functions
+    by reference, which would require the package on every worker's import
+    path — see session gotchas)."""
+
+    def batch_keys(np, pdf):
+        """Composite sort keys for a whole Arrow batch of
+        (nbrs_src, nbrs_dst) pairs: ``(row << 32) | value_code``.
+
+        Neighbor arrays are sorted sets per row, so with order-preserving
+        value codes the concatenated key arrays are GLOBALLY sorted — one
+        numpy call then intersects every row's pair at once. This removes
+        the per-edge Python loop (SURVEY §2.9's "no per-row Python" rule;
+        the r1 per-row kernels measured 19.6s vs sql's 8.9s).
+
+        Values already in [0, 2^31) are their own codes (zero extra work —
+        the common case for compacted/TPC-H/RMAT ids); sparse 64-bit ids
+        pay one unique + searchsorted compaction (NOT
+        unique(return_inverse=True): numpy 1.26's return_inverse is ~10x
+        slower single-core and collapses ~9x further under 32-way
+        concurrency — measured 23s/batch vs 1.4s).
+        Returns (key_a, key_b) or None for an empty batch.
+        """
+        a_list, b_list = pdf["nbrs_src"].values, pdf["nbrs_dst"].values
+        k = len(a_list)
+        if k == 0:
+            return None
+        la = np.fromiter((len(x) for x in a_list), dtype=np.int64, count=k)
+        lb = np.fromiter((len(x) for x in b_list), dtype=np.int64, count=k)
+        if la.sum() == 0 or lb.sum() == 0:
+            return None
+        A = np.concatenate([np.asarray(x, dtype=np.int64) for x in a_list if len(x)])
+        B = np.concatenate([np.asarray(x, dtype=np.int64) for x in b_list if len(x)])
+        seg_a = np.repeat(np.arange(k, dtype=np.int64), la)
+        seg_b = np.repeat(np.arange(k, dtype=np.int64), lb)
+        mn = min(int(A.min()), int(B.min()))
+        mx = max(int(A.max()), int(B.max()))
+        if 0 <= mn and mx < 2**31:
+            return (seg_a << 32) | A, (seg_b << 32) | B
+        allv = np.concatenate([A, B])
+        uniq = np.unique(allv)
+        inv = np.searchsorted(uniq, allv)
+        assert len(uniq) < 2**32  # int32 code space per batch
+        return (seg_a << 32) | inv[: len(A)], (seg_b << 32) | inv[len(A):]
+
+    return batch_keys
+
+
+_batch_keys = _make_batch_keys()  # module-level alias for tests/local use
+
+
 def _make_merge_kernel():
-    """np.intersect1d over sorted unique neighbor arrays (merge-path).
+    """Merge-path intersection (graph.c:276-304 in spirit), vectorized over
+    the whole batch: concatenate both composite-key arrays, sort-merge, and
+    count adjacent duplicates (values are unique within each side of a row,
+    so every duplicate is one intersection hit).
 
     Defined as a closure so cloudpickle ships it BY VALUE — executors never
     need this package importable (works without --py-files in local mode;
     on a cluster, ship the zip anyway for the rest of the library).
     """
+    bk = _make_batch_keys()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         total = 0
         for pdf in batches:
-            for a, b in zip(pdf["nbrs_src"].values, pdf["nbrs_dst"].values):
-                total += np.intersect1d(a, b, assume_unique=True).size
+            keys = bk(np, pdf)
+            if keys is None:
+                continue
+            comb = np.concatenate(keys)
+            comb.sort()
+            total += int(np.count_nonzero(comb[1:] == comb[:-1]))
         yield pd.DataFrame({"partial": [total]})
 
     return kernel
 
 
 def _make_probe_kernel():
-    """Binary-search probe of the smaller list into the larger
-    (graph.c:322-351 incl. the smaller-side pick at 342-347)."""
+    """Binary-search probe (graph.c:322-351 incl. the smaller-side pick at
+    342-347), vectorized: ONE searchsorted over the batch-global composite
+    keys probes every row simultaneously. The smaller-side pick is applied
+    at batch granularity (intersection is symmetric; the pick is a cost
+    heuristic, and per-row swapping would reintroduce a Python loop)."""
+    bk = _make_batch_keys()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         total = 0
         for pdf in batches:
-            for a, b in zip(pdf["nbrs_src"].values, pdf["nbrs_dst"].values):
-                small, big = (a, b) if len(a) <= len(b) else (b, a)
-                if len(small) == 0:
-                    continue
-                idx = np.searchsorted(big, small)
-                idx[idx == len(big)] = 0
-                total += int((big[idx] == small).sum())
+            keys = bk(np, pdf)
+            if keys is None:
+                continue
+            key_a, key_b = keys
+            key_small, key_big = (
+                (key_a, key_b) if len(key_a) <= len(key_b) else (key_b, key_a)
+            )
+            idx = np.searchsorted(key_big, key_small)
+            idx[idx == len(key_big)] = 0
+            total += int(np.count_nonzero(key_big[idx] == key_small))
         yield pd.DataFrame({"partial": [total]})
 
     return kernel
@@ -163,8 +262,117 @@ _KERNELS = {"merge": _make_merge_kernel, "probe": _make_probe_kernel}
 
 
 def _count_kernel(oriented: DataFrame, kernel: str) -> DataFrame:
-    pairs = _edge_adjacency_pairs(oriented).select("nbrs_src", "nbrs_dst")
-    partials = pairs.mapInPandas(_KERNELS[kernel](), schema=_KERNEL_SCHEMA)
+    adj = oriented_adjacency(oriented).persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+    try:
+        pairs = _edge_adjacency_pairs(oriented, adj).select("nbrs_src", "nbrs_dst")
+        partials = pairs.mapInPandas(_KERNELS[kernel](), schema=_KERNEL_SCHEMA)
+        row = partials.agg(
+            F.coalesce(F.sum("partial"), F.lit(0)).cast("long").alias("triangles")
+        ).collect()[0]
+    finally:
+        adj.unpersist()
+    return oriented.sparkSession.createDataFrame(
+        [(int(row["triangles"]),)], "triangles long"
+    )
+
+
+def _count_partitioned(oriented: DataFrame, n_blocks: int | None = None) -> DataFrame:
+    """Co-grouped CSR-block counting — the beyond-memory 100 TB plan
+    (strategy "part"; SURVEY §7.1 step 3).
+
+    The r1 shuffle plans ship Σdeg² adjacency ELEMENTS (every edge carries
+    both endpoints' full neighbor arrays through an exchange — 4.3 GB at
+    RMAT-17). Here each oriented edge belongs to block pid = hash(src) % P,
+    so a block holds COMPLETE CSR rows for its sources — N+(src) is derived
+    locally from the block's own edges, never shipped. Only the dst-side
+    adjacency rows move, and each row ships ONCE PER REFERENCING BLOCK
+    (a semi-join on the distinct (pid, dst) pairs), not once per edge:
+    Σ_v min(indeg(v), P)·deg⁺(v) elements ≤ Σdeg², with the gap largest
+    exactly where it matters (hub vertices referenced by every block).
+    Per-block work is the batch-vectorized composite-key intersection —
+    no per-row Python. Degree orientation bounds deg⁺ by O(√m), so local
+    repeats (Σ deg⁺² per block) stay bounded.
+    """
+    spark = oriented.sparkSession
+    if n_blocks is None:
+        n_blocks = max(spark.sparkContext.defaultParallelism * 2, 4)
+    e = oriented.select(
+        F.pmod(F.xxhash64(SRC), F.lit(n_blocks)).cast("int").alias("pid"), SRC, DST
+    )
+    adj = oriented_adjacency(oriented)
+    # rename pid on the replica side: both cogroup inputs derive from `e`,
+    # and Spark's ambiguous-self-join check rejects the shared attribute
+    need = e.select(F.col("pid").alias("pid_r"), DST).distinct()
+    adj_rep = adj.join(need, adj["v"] == need[DST]).select("pid_r", "v", "nbrs")
+
+    def block_kernel(edges_pdf: pd.DataFrame, adj_pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        m = len(edges_pdf)
+        if m == 0 or len(adj_pdf) == 0:
+            return pd.DataFrame({"partial": [0]})
+        s = edges_pdf[SRC].to_numpy(dtype=np.int64)
+        d = edges_pdf[DST].to_numpy(dtype=np.int64)
+        # group this block's edges by src (the local CSR rows)
+        order = np.argsort(s, kind="stable")
+        s, d = s[order], d[order]
+        # dst-side adjacency lookup table
+        av = adj_pdf["v"].to_numpy(dtype=np.int64)
+        a_arrs = adj_pdf["nbrs"].values
+        alen = np.fromiter((len(x) for x in a_arrs), dtype=np.int64, count=len(av))
+        acat = (
+            np.concatenate([np.asarray(x, dtype=np.int64) for x in a_arrs])
+            if alen.sum()
+            else np.empty(0, dtype=np.int64)
+        )
+        aoff = np.zeros(len(av) + 1, dtype=np.int64)
+        np.cumsum(alen, out=aoff[1:])
+        av_order = np.argsort(av, kind="stable")
+        av_sorted = av[av_order]
+        # compact the probe value space so the scatter mask is small
+        # (original ids can be 2^63-sparse); ONE sort per block
+        uniq = np.unique(np.concatenate([d, acat]))
+        d_code = np.searchsorted(uniq, d)
+        acat_code = np.searchsorted(uniq, acat)
+        mask = np.zeros(len(uniq), dtype=bool)
+        # per-edge dst adjacency row — membership-checked: a dst with no
+        # outgoing oriented edges has NO adjacency row here (the inner join
+        # dropped it) and closes no triangle
+        pos = np.minimum(np.searchsorted(av_sorted, d), len(av_sorted) - 1)
+        found = av_sorted[pos] == d
+        didx = np.where(found, av_order[pos], 0)
+        d_len = np.where(found, alen[av_order[pos]], 0)
+        d_start = aoff[didx]
+        run_start = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        run_end = np.r_[run_start[1:], m]
+        total = 0
+        # per-SOURCE loop (not per-edge): scatter N+(a) once, then one
+        # batched gather over the concatenated N+(b) spans — the proven
+        # broadcast-CSR kernel shape (bool-scatter amortized per source,
+        # tc.c:1232-1252), applied to the block-local arrays
+        for lo, hi in zip(run_start, run_end):
+            lens = d_len[lo:hi]
+            tot = int(lens.sum())
+            if tot == 0:
+                continue
+            row_codes = d_code[lo:hi]
+            mask[row_codes] = True
+            starts = d_start[lo:hi]
+            offs = (
+                np.arange(tot, dtype=np.int64)
+                - np.repeat(np.cumsum(lens) - lens, lens)
+                + np.repeat(starts, lens)
+            )
+            total += int(np.count_nonzero(mask[acat_code[offs]]))
+            mask[row_codes] = False
+        return pd.DataFrame({"partial": [total]})
+
+    partials = (
+        e.groupBy("pid")
+        .cogroup(adj_rep.groupBy("pid_r"))
+        .applyInPandas(block_kernel, schema=_KERNEL_SCHEMA)
+    )
     return partials.agg(
         F.coalesce(F.sum("partial"), F.lit(0)).cast("long").alias("triangles")
     )
@@ -344,11 +552,22 @@ def triangle_count_estimate(
     scale by 1/p^3 (each triangle survives with probability p^3). The cheap
     first look at a 100 TB graph before committing to the exact count; the
     notebook's signature-sketch (ipynb cells 11-23) plays this role in the
-    reference. Deterministic in (p, seed) — sampling by hash, not rand()."""
+    reference. Deterministic in (p, seed) — sampling by hash, not rand().
+
+    The sampling hash is an md5 hex prefix compared as a STRING against the
+    p-threshold written in hex (lowercase hex compares lexicographically ==
+    numerically): md5 is bit-identical across engines, so the exact same
+    edge sample is reproducible in ANSI SQL — the oracle can replay the
+    sample and the 1/p³ scale-up."""
     ce = canonical_edges(edges)
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"sampling probability p={p} must be in (0, 1]")
+    thresh = format(min(int(round(p * 16**6)), 16**6 - 1), "06x")
     sampled = ce.where(
-        (F.pmod(F.xxhash64(SRC, DST, F.lit(seed)), F.lit(1_000_000)) / 1_000_000.0)
-        < p
+        F.substring(
+            F.md5(F.concat_ws(",", F.col(SRC), F.col(DST), F.lit(seed))), 1, 6
+        )
+        < F.lit(thresh)
     )
     t = triangle_count(sampled, "sql", assume_canonical=True).collect()[0]["triangles"]
     est = int(round(t / p**3))
@@ -357,7 +576,7 @@ def triangle_count_estimate(
     )
 
 
-STRATEGIES = ("sql", "join", "merge", "probe", "bcast", "level", "auto")
+STRATEGIES = ("sql", "join", "merge", "probe", "bcast", "level", "part", "auto")
 
 
 def triangle_count(
@@ -372,18 +591,23 @@ def triangle_count(
     CSR in memory per query (main.c:168-172), without leaking cache across
     queries.
 
-    ``auto`` mirrors the reference's statistic-driven hybrid planner
-    (tc_bader_hybrid computes one cheap statistic then picks the physical
-    algorithm, tc.c:1844-1911): count m; if the oriented CSR fits in
-    executor memory (m ≤ 20M edges ≈ 330 MB CSR) take the shuffle-free
-    broadcast kernel, else the codegen'd shuffle plan ("sql").
+    ``auto`` delegates to :func:`..plans.planner.choose_triangle_strategy`
+    — the reference's statistic-driven hybrid (tc_bader_hybrid,
+    tc.c:1844-1911): small m → codegen'd "sql"; CSR fits executor memory →
+    shuffle-free "bcast"; beyond memory the k statistic picks between the
+    forward-hash analog ("part") and the level-partitioned plan
+    (tc.c:1904: ``k > 0.7 → forward_hash else bader``).
     """
     ce = edges if assume_canonical else canonical_edges(edges)
     if strategy == "auto":
-        m = ce.count()
-        strategy = "bcast" if m <= 20_000_000 else "sql"
+        from ..plans.planner import choose_triangle_strategy
+
+        choice = choose_triangle_strategy(ce, assume_canonical=True)
+        strategy = choice.strategy
     if strategy == "sql":
         fn = _count_sql
+    elif strategy == "part":
+        fn = _count_partitioned
     elif strategy == "join":
         fn = _count_join
     elif strategy == "bcast":

@@ -169,6 +169,7 @@ def loop(
     delta = float("inf")
     converged = False
     i = start_iter
+    prev_persisted: DataFrame | None = None  # last durable-checkpoint cache
     for i in range(start_iter + 1, max_iter + 1):
         t0 = time.time()
         new_state = step(state, i).localCheckpoint(eager=True)
@@ -178,10 +179,16 @@ def loop(
         state = new_state
         if base and (i % checkpoint_every == 0 or delta <= tol):
             ck = _write_checkpoint(state, base, i, delta, fingerprint)
-            # durable boundary: subsequent lineage roots at the parquet file
+            # durable boundary: subsequent lineage roots at the parquet file.
+            # delta_fn above already materialized the new state, so the
+            # PREVIOUS checkpoint's cache is dead — unpersist it or a long
+            # run accumulates one MEMORY_AND_DISK copy per checkpoint.
+            if prev_persisted is not None:
+                prev_persisted.unpersist()
             state = spark.read.parquet(os.path.join(base, f"iter={i:06d}")).persist(
                 StorageLevel.MEMORY_AND_DISK
             )
+            prev_persisted = state
             m["checkpoint"] = {"partitions": len(ck["partitions"])}
         metrics.append(m)
         if delta <= tol:

@@ -1,12 +1,29 @@
 """Statistic-driven strategy selection — the reference's hybrid planner.
 
 tc_bader_hybrid (tc.c:1844-1911) computes one graph statistic (k = fraction
-of BFS-horizontal edges) and picks a physical algorithm: small graphs or
-k > 0.7 → forward_hash, else the level-partitioned variant, with a 100k-edge
-recursion base (tc.h:43). Our planner does the DataFrame-level analog:
-cheap statistics (edge count, degree skew) choose among the engine's
-physical triangle strategies; Spark's own AQE then handles the *physical*
-analogs (broadcast-vs-shuffle, skew split) at runtime.
+of BFS-horizontal edges, tc_bader_compute_k tc.c:1120-1159) and picks a
+physical algorithm: ``m < 100000 || k > 0.7 → tc_forward_hash_degreeOrder
+else tc_bader`` (tc.c:1904), with a 100k-edge recursion base (tc.h:43).
+Our planner is the DataFrame-level analog over the engine's physical
+strategies, with one Spark-specific tier the reference doesn't need: the
+broadcast-CSR cutover (a single shared-memory node always "fits" in the
+reference; on a cluster, fitting executor memory is THE plan-changing
+statistic).
+
+Decision ladder (each statistic only computed if the previous didn't
+decide — k costs a BFS, exactly as the reference's compute_k does):
+
+1. m < small_edges (default 100k, tc.h:43)  → "sql"   (one codegen'd plan,
+   no Python workers to spin up)
+2. m <= bcast_max (default 20M ≈ 330 MB CSR) → "bcast" (zero-shuffle
+   broadcast-CSR kernel)
+3. k > 0.7  → "part"  (co-grouped CSR blocks — the degree-ordered
+   forward-hash analog at shuffle scale)
+   k <= 0.7 → "level" (BFS-level-partitioned, the tc_bader family: only
+   the k·m horizontal edges do intersection work)
+
+Spark's AQE then handles the *physical* runtime analogs (broadcast-vs-
+shuffle joins, skew split) inside whichever plan is chosen.
 """
 
 from __future__ import annotations
@@ -14,43 +31,47 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
-from ..operators.orientation import canonical_edges, degrees
+from ..operators.orientation import canonical_edges
 
 SMALL_GRAPH_EDGES = 100_000  # the reference's recursion/hybrid base, tc.h:43
+BCAST_MAX_EDGES = 20_000_000  # oriented CSR ≈ 16 B/edge → ~330 MB broadcast
+K_CUTOVER = 0.7  # tc.c:1904
 
 
 @dataclass
 class PlanChoice:
     strategy: str
     m: int
-    max_degree: int
-    mean_degree: float
+    k: float | None  # BFS-horizontal edge fraction (None if not computed)
     reason: str
 
 
-def choose_triangle_strategy(edges: DataFrame) -> PlanChoice:
-    """Pick a triangle strategy from cheap statistics.
-
-    - small graph (m < 100k, the reference's base constant): "sql" — one
-      codegen'd plan, no Python workers to spin up.
-    - heavy skew (max_degree > 32·mean): the oriented adjacency arrays are
-      long; the numpy merge kernel beats JVM array_intersect on long arrays
-      → "merge".
-    - otherwise "sql".
-    """
-    ce = canonical_edges(edges)
+def choose_triangle_strategy(
+    edges: DataFrame,
+    small_edges: int = SMALL_GRAPH_EDGES,
+    bcast_max: int = BCAST_MAX_EDGES,
+    k_cutover: float = K_CUTOVER,
+    assume_canonical: bool = False,
+) -> PlanChoice:
+    """Pick a triangle strategy from graph statistics (cheapest first)."""
+    ce = edges if assume_canonical else canonical_edges(edges)
     m = ce.count()
-    if m < SMALL_GRAPH_EDGES:
-        return PlanChoice("sql", m, 0, 0.0, f"m={m} < {SMALL_GRAPH_EDGES}")
-    s = (
-        degrees(ce)
-        .agg(F.max("degree").alias("mx"), F.avg("degree").alias("mean"))
-        .collect()[0]
-    )
-    if s["mx"] > 32 * s["mean"]:
+    if m < small_edges:
+        return PlanChoice("sql", m, None, f"m={m} < {small_edges} (tc.h:43 base)")
+    if m <= bcast_max:
         return PlanChoice(
-            "merge", m, s["mx"], s["mean"], f"skew max={s['mx']} mean={s['mean']:.1f}"
+            "bcast", m, None, f"m={m} <= {bcast_max}: oriented CSR fits memory"
         )
-    return PlanChoice("sql", m, s["mx"], s["mean"], "default")
+    # beyond-memory: the reference's k-statistic cutover (tc.c:1904) —
+    # computing k costs one BFS, the same price compute_k pays
+    from ..operators.bfs import k_metric
+
+    k = float(k_metric(ce).collect()[0]["k"])
+    if k > k_cutover:
+        return PlanChoice(
+            "part", m, k, f"k={k:.3f} > {k_cutover} → forward-hash analog (tc.c:1904)"
+        )
+    return PlanChoice(
+        "level", m, k, f"k={k:.3f} <= {k_cutover} → level-partitioned (tc.c:1904)"
+    )

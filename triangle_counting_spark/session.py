@@ -16,17 +16,46 @@ import os
 from pyspark.sql import SparkSession
 
 
+def iceberg_conf(
+    catalog: str = "ice",
+    warehouse: str | None = None,
+    catalog_impl: str = "hadoop",
+) -> dict[str, str]:
+    """Spark conf for an Apache Iceberg catalog (the north rule's input is
+    an Iceberg table of source files).
+
+    Standard public configuration (Iceberg docs): a SparkCatalog entry plus
+    the extensions class. Requires ``iceberg-spark-runtime`` on the
+    classpath — not bundled in this sandbox, so the confs are exposed as a
+    pure dict (unit-testable) and :func:`get_spark` applies them when
+    ``iceberg_catalog`` is set.
+    """
+    wh = warehouse or os.environ.get("SPARK_GRAFT_ICEBERG_WAREHOUSE", "/tmp/iceberg-wh")
+    return {
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": catalog_impl,
+        f"spark.sql.catalog.{catalog}.warehouse": wh,
+    }
+
+
 def get_spark(
     app_name: str = "triangle-counting-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    iceberg_catalog: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for the engine.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, fallback 32)
     so the bench harness can run the identical job at two parallelism
     levels (the sandbox stand-in for N vs 4N executor clusters).
+
+    ``iceberg_catalog``: name of an Iceberg catalog to configure (see
+    :func:`iceberg_conf`); needs the iceberg-spark-runtime jar at runtime.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
@@ -50,6 +79,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if iceberg_catalog:
+        for k, v in iceberg_conf(iceberg_catalog).items():
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -1,0 +1,62 @@
+"""Iceberg table ingest — the north-rule input shape.
+
+BASELINE.json's input hint is an Iceberg table of source files
+(repo, path, commit, lang, content). This module is the catalog read path:
+``spark.read.table`` against a configured Iceberg catalog (see
+``session.iceberg_conf``), with snapshot/as-of time travel passed through
+as read options — all standard public Iceberg-Spark API.
+
+The sandbox has no iceberg-spark-runtime jar, so :func:`read_iceberg_table`
+degrades with a clear error naming the missing piece; the parquet fixtures
+stand in for the table in tests/benches (TESTDATA.md). The derivation
+downstream (``file_vertices`` → ``file_cooccurrence_edges``) is identical
+either way — the source is an implementation detail behind a DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_iceberg_table(
+    spark: SparkSession,
+    table: str,
+    snapshot_id: int | None = None,
+    as_of_timestamp: int | None = None,
+) -> DataFrame:
+    """DataFrame over ``catalog.db.table`` with optional time travel.
+
+    Predicate pushdown, column pruning and partition pruning flow through
+    the Iceberg source automatically — downstream callers filter on
+    (repo, lang, ...) and never read ``content`` unless asked.
+    """
+    reader = spark.read
+    if snapshot_id is not None:
+        reader = reader.option("snapshot-id", str(snapshot_id))
+    if as_of_timestamp is not None:
+        reader = reader.option("as-of-timestamp", str(as_of_timestamp))
+    try:
+        return reader.table(table)
+    except Exception as e:  # noqa: BLE001 — surface the missing-runtime case
+        msg = str(e)
+        if "iceberg" in msg.lower() or "Catalog" in msg:
+            raise RuntimeError(
+                f"cannot read Iceberg table {table!r}: is iceberg-spark-runtime "
+                "on the classpath and the catalog configured "
+                "(session.get_spark(iceberg_catalog=...))?"
+            ) from e
+        raise
+
+
+def files_from_iceberg(
+    spark: SparkSession,
+    table: str,
+    lang: str | None = None,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """The source-files table from Iceberg, optionally filtered by lang —
+    the filter lands in the Iceberg scan (pushdown), not in Spark."""
+    from pyspark.sql import functions as F
+
+    df = read_iceberg_table(spark, table, snapshot_id=snapshot_id)
+    return df.where(F.col("lang") == lang) if lang is not None else df

@@ -2,10 +2,15 @@
 
 Reproduces readMatrixMarketFile's semantics (main.c:296-384): skip '%'
 comment lines, first data line is ``rows cols nnz`` (must be square,
-main.c:313-317), remaining lines are 1-indexed ``i j`` pairs → shifted to
-0-indexed, symmetrized, deduplicated, self-loops dropped. Expressed as a
-distributed text scan + split — no driver-side parsing, so a 1 TB .mtx
-ingests in parallel (the reference reads it serially with fscanf).
+main.c:313-317), remaining lines are 1-indexed ``i j [value]`` entries →
+shifted to 0-indexed, symmetrized, deduplicated, self-loops dropped.
+Weighted files (``coordinate real``/``integer``: 3 tokens per entry line)
+parse by taking the first two fields; ``pattern`` files are the 2-token
+case. Expressed as a distributed text scan + split — no driver-side data
+parsing, so a 1 TB .mtx ingests in parallel (the reference reads it
+serially with fscanf); only the header comes from a bounded driver-side
+head read (the header is by definition the FIRST non-comment line, which a
+distributed filter cannot identify without a global sort).
 """
 
 from __future__ import annotations
@@ -16,20 +21,48 @@ from pyspark.sql import functions as F
 from ..operators.orientation import canonical_edges
 
 
+def _read_header(spark: SparkSession, path: str) -> tuple[str, int, int, int]:
+    """(header_line, rows, cols, nnz) from the first non-comment line.
+
+    sc.textFile(...).take() reads from the start of the first split —
+    ordered, bounded, no full scan.
+    """
+    head = spark.sparkContext.textFile(path, 1).take(10_000)
+    for line in head:
+        t = line.strip()
+        if not t or t.startswith("%"):
+            continue
+        toks = t.split()
+        if len(toks) != 3:
+            raise ValueError(
+                f"malformed MatrixMarket header (want 'rows cols nnz'): {t!r}"
+            )
+        rows, cols, nnz = int(toks[0]), int(toks[1]), int(toks[2])
+        if rows != cols:
+            raise ValueError(f"non-square MatrixMarket matrix {rows}x{cols}")
+        return t, rows, cols, nnz
+    raise ValueError(f"no MatrixMarket header found in {path}")
+
+
 def read_mtx(spark: SparkSession, path: str) -> DataFrame:
     """Canonical (src, dst) edge table from a MatrixMarket file."""
+    header, _rows, _cols, nnz = _read_header(spark, path)
     lines = spark.read.text(path).where(
         ~F.col("value").startswith("%") & (F.trim("value") != "")
     )
-    toks = lines.select(F.split(F.trim("value"), r"\s+").alias("t"))
-    # header = the one line with 3 tokens (rows cols nnz); validate square
-    header = toks.where(F.size("t") == 3).limit(1).collect()
-    if header:
-        rows, cols = int(header[0]["t"][0]), int(header[0]["t"][1])
-        if rows != cols:
-            raise ValueError(f"non-square MatrixMarket matrix {rows}x{cols}")
-    pairs = toks.where(F.size("t") == 2).select(
+    # drop the header by string equality: a DATA line identical to the
+    # header text would require i=rows, j=cols, weight=nnz formatted as a
+    # bare int — and (rows, cols) duplicates/self-loops are removed by
+    # canonical_edges anyway
+    toks = lines.where(F.trim("value") != header).select(
+        F.split(F.trim("value"), r"\s+").alias("t")
+    )
+    pairs = toks.where(F.size("t") >= 2).select(
         (F.element_at("t", 1).cast("long") - 1).alias("src"),
         (F.element_at("t", 2).cast("long") - 1).alias("dst"),
     )
-    return canonical_edges(pairs)
+    edges = canonical_edges(pairs)
+    if nnz > 0 and not pairs.limit(1).count():
+        raise ValueError(f"MatrixMarket file {path}: header says nnz={nnz} "
+                         "but no entry lines parsed")
+    return edges
