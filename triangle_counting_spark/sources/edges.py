@@ -32,11 +32,23 @@ def cooccurrence_edges(
     group_col: str,
     item_col: str,
     max_group_size: int | None = None,
+    salt_heavy: int | None = None,
 ) -> DataFrame:
     """Canonical (src, dst) with src < dst, distinct, from item co-occurrence.
 
     ``item_col`` must already be an integral vertex id (use
     :func:`file_vertices` / ``xxhash64`` upstream for string keys).
+
+    ``salt_heavy=S``: explicit skew salting of the self-join (SURVEY §7.2;
+    heavy = group size > µ+2σ, the notebook's cell-10 criterion). A heavy
+    group's left side is hashed into S salt buckets and its right side
+    replicated to all S, so the join key becomes (g, salt) and the
+    mega-group's C(k,2) pair stream spreads over S reducers instead of one.
+    Each unordered pair still appears exactly once: (x,y) matches only in
+    x's salt bucket (the reversed orientation fails the src<dst filter).
+    Light groups pay nothing (salt 0, no replication). Default off — AQE's
+    skew-join split handles moderate skew; salting is the deterministic
+    plan-level fix for the one-mega-repo regime.
     """
     base = items.select(
         F.col(group_col).alias("g"), F.col(item_col).cast("long").alias("i")
@@ -46,10 +58,43 @@ def cooccurrence_edges(
         base = base.join(
             sizes.where(F.col("_gsz") <= max_group_size).select("g"), "g", "left_semi"
         )
-    a = base.select("g", F.col("i").alias(SRC))
-    b = base.select("g", F.col("i").alias(DST))
+    if salt_heavy is None:
+        a = base.select("g", F.col("i").alias(SRC))
+        b = base.select("g", F.col("i").alias(DST))
+        return (
+            a.join(b, "g")
+            .where(F.col(SRC) < F.col(DST))
+            .select(SRC, DST)
+            .distinct()
+        )
+    s = int(salt_heavy)
+    sizes = base.groupBy("g").agg(F.count(F.lit(1)).alias("_gsz"))
+    stats = sizes.agg(
+        (F.avg("_gsz") + 2 * F.coalesce(F.stddev_pop("_gsz"), F.lit(0.0))).alias("thr")
+    ).collect()[0]
+    heavy = sizes.where(F.col("_gsz") > float(stats["thr"])).select(
+        "g", F.lit(True).alias("_heavy")
+    )
+    flagged = base.join(F.broadcast(heavy), "g", "left").select(
+        "g", "i", F.coalesce("_heavy", F.lit(False)).alias("_heavy")
+    )
+    a = flagged.select(
+        "g",
+        F.when(F.col("_heavy"), F.pmod(F.xxhash64("i"), F.lit(s)))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("salt"),
+        F.col("i").alias(SRC),
+    )
+    b = flagged.select(
+        "g",
+        F.explode(
+            F.sequence(F.lit(0), F.when(F.col("_heavy"), s - 1).otherwise(F.lit(0)))
+        ).alias("salt"),
+        F.col("i").alias(DST),
+    )
     return (
-        a.join(b, "g")
+        a.join(b, ["g", "salt"])
         .where(F.col(SRC) < F.col(DST))
         .select(SRC, DST)
         .distinct()
