@@ -52,3 +52,22 @@ def test_streaming_windowed_counts(spark, tmp_path):
     )
     assert n > 0
     assert n <= batch
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """First arrival of each text survives; duplicates collapse — composes
+    with the batch exact_dedup_groups (same md5 key)."""
+    from triangle_counting_spark.streaming.events import run_dedup_stream_demo
+
+    src = tmp_path / "docs"
+    spark.createDataFrame(
+        [
+            (1, "alpha beta", "2026-01-01 00:00:00"),
+            (2, "alpha beta", "2026-01-01 00:01:00"),  # dup
+            (3, "gamma delta", "2026-01-01 00:02:00"),
+            (4, "alpha beta", "2026-01-01 00:03:00"),  # dup
+        ],
+        "doc_id long, text string, ts string",
+    ).write.parquet(str(src))
+    n = run_dedup_stream_demo(spark, str(src), str(tmp_path / "out"))
+    assert n == 2  # two distinct texts

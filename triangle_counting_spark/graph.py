@@ -1,0 +1,140 @@
+"""Graph — the one-import facade over the engine's operators.
+
+The reference exposes its library as `graph_t` + a registry of algorithms
+over it (main.c:454-488); this is the DataFrame-native equivalent: wrap an
+edge DataFrame once (canonicalized, optionally persisted) and call
+algorithms as methods. Every method delegates to the same operators the
+gate queries use — the facade adds no semantics, only ergonomics.
+
+    g = Graph.from_mtx(spark, "graph.mtx").persist()
+    g.triangle_count()              # auto-planned
+    g.pagerank(tol=1e-6).state
+    g.connected_components().state
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .operators.orientation import DST, SRC, canonical_edges
+
+
+class Graph:
+    """Undirected graph over a canonical (src < dst, distinct) edge table."""
+
+    def __init__(self, edges: DataFrame, assume_canonical: bool = False):
+        self.edges = edges if assume_canonical else canonical_edges(edges)
+        self._persisted = False
+
+    # ------------------------------------------------------------ sources
+
+    @classmethod
+    def from_mtx(cls, spark: SparkSession, path: str) -> "Graph":
+        from .sources.mtx import read_mtx
+
+        return cls(read_mtx(spark, path), assume_canonical=True)
+
+    @classmethod
+    def from_rmat(cls, spark: SparkSession, scale: int, **kw) -> "Graph":
+        from .sources.rmat import rmat_edges
+
+        return cls(rmat_edges(spark, scale=scale, **kw), assume_canonical=True)
+
+    @classmethod
+    def from_cooccurrence(
+        cls, items: DataFrame, group_col: str, item_col: str, **kw
+    ) -> "Graph":
+        from .sources.edges import cooccurrence_edges
+
+        return cls(
+            cooccurrence_edges(items, group_col, item_col, **kw),
+            assume_canonical=True,
+        )
+
+    # ------------------------------------------------------------ lifecycle
+
+    def persist(self) -> "Graph":
+        self.edges = self.edges.persist(StorageLevel.MEMORY_AND_DISK)
+        self._persisted = True
+        return self
+
+    def unpersist(self) -> "Graph":
+        if self._persisted:
+            self.edges.unpersist()
+            self._persisted = False
+        return self
+
+    # ------------------------------------------------------------ structure
+
+    @property
+    def vertices(self) -> DataFrame:
+        return (
+            self.edges.select(F.col(SRC).alias("v"))
+            .union(self.edges.select(F.col(DST).alias("v")))
+            .distinct()
+        )
+
+    def degrees(self) -> DataFrame:
+        from .operators.orientation import degrees
+
+        return degrees(self.edges)
+
+    def degree_stats(self) -> DataFrame:
+        from .operators.stats import degree_stats
+
+        return degree_stats(self.edges)
+
+    def k_metric(self) -> float:
+        from .operators.bfs import k_metric
+
+        return float(k_metric(self.edges).collect()[0]["k"])
+
+    # ------------------------------------------------------------ algorithms
+
+    def triangle_count(self, strategy: str = "auto") -> int:
+        from .operators.triangles import triangle_count
+
+        return int(
+            triangle_count(self.edges, strategy, assume_canonical=True)
+            .collect()[0]["triangles"]
+        )
+
+    def triangles_per_vertex(self) -> DataFrame:
+        from .operators.triangles import triangles_per_vertex
+
+        return triangles_per_vertex(self.edges)
+
+    def clustering_coefficient(self) -> float:
+        from .operators.triangles import clustering_coefficient
+
+        return float(
+            clustering_coefficient(self.edges).collect()[0]["global_clustering"]
+        )
+
+    def bfs(self, roots: list[int] | None = None) -> DataFrame:
+        from .operators.bfs import bfs_levels
+
+        return bfs_levels(self.edges, roots=roots)
+
+    def pagerank(self, **kw):
+        from .operators.pagerank import pagerank
+
+        return pagerank(self.edges, **kw)
+
+    def connected_components(self, **kw):
+        from .operators.components import connected_components
+
+        return connected_components(self.edges, **kw)
+
+    def label_propagation(self, iterations: int = 3):
+        from .operators.labelprop import label_propagation_fixed
+
+        return label_propagation_fixed(self.edges, iterations)
+
+    def plan(self):
+        """The statistic-driven strategy choice (tc_bader_hybrid analog)."""
+        from .plans.planner import choose_triangle_strategy
+
+        return choose_triangle_strategy(self.edges, assume_canonical=True)

@@ -23,10 +23,12 @@ reference's function-pointer registry main.c:454-488):
 - "join":   pure 3-way self-join  edges(a,b) ⋈ edges(b,c) ⋈ edges(a,c) —
             the SpGEMM/Davis formulation (tc.c:12-49) as equi-joins; AQE
             handles residual skew. No arrays materialized at all.
-- "merge":  Arrow-batched numpy merge-path kernel (graph.c:276-304 in
-            spirit): sorted-array intersection per edge inside mapInPandas.
-- "probe":  Arrow-batched numpy binary-search kernel (graph.c:322-351):
-            searchsorted probes of the smaller list into the larger.
+- "merge":  Arrow-native numpy merge-path kernel (graph.c:276-304 in
+            spirit): batch-global composite-key sort-merge via mapInArrow.
+- "probe":  Arrow-native numpy binary-search kernel (graph.c:322-351):
+            one batch-global searchsorted, smaller side probes the larger.
+- "part":   co-grouped CSR blocks — adjacency rows ship once per
+            referencing block (the beyond-memory scale plan).
 - "bcast":  broadcast-CSR strided-slice kernel (BroadcastCSRTriangles) —
             zero shuffle; the fits-in-executor-memory tier.
 - "level":  BFS-level-partitioned counting (tc_bader, tc.c:1161-1196).
@@ -156,15 +158,15 @@ def _make_batch_keys():
     by reference, which would require the package on every worker's import
     path — see session gotchas)."""
 
-    def batch_keys(np, pdf):
-        """Composite sort keys for a whole Arrow batch of
-        (nbrs_src, nbrs_dst) pairs: ``(row << 32) | value_code``.
+    def batch_keys(np, A, la, B, lb):
+        """Composite sort keys for a whole batch of (nbrs_src, nbrs_dst)
+        pairs, given FLATTENED value arrays + per-row lengths:
+        ``(row << 32) | value_code``.
 
         Neighbor arrays are sorted sets per row, so with order-preserving
         value codes the concatenated key arrays are GLOBALLY sorted — one
         numpy call then intersects every row's pair at once. This removes
-        the per-edge Python loop (SURVEY §2.9's "no per-row Python" rule;
-        the r1 per-row kernels measured 19.6s vs sql's 8.9s).
+        the per-edge Python loop (SURVEY §2.9's "no per-row Python" rule).
 
         Values already in [0, 2^31) are their own codes (zero extra work —
         the common case for compacted/TPC-H/RMAT ids); sparse 64-bit ids
@@ -174,16 +176,9 @@ def _make_batch_keys():
         concurrency — measured 23s/batch vs 1.4s).
         Returns (key_a, key_b) or None for an empty batch.
         """
-        a_list, b_list = pdf["nbrs_src"].values, pdf["nbrs_dst"].values
-        k = len(a_list)
-        if k == 0:
+        k = len(la)
+        if k == 0 or len(A) == 0 or len(B) == 0:
             return None
-        la = np.fromiter((len(x) for x in a_list), dtype=np.int64, count=k)
-        lb = np.fromiter((len(x) for x in b_list), dtype=np.int64, count=k)
-        if la.sum() == 0 or lb.sum() == 0:
-            return None
-        A = np.concatenate([np.asarray(x, dtype=np.int64) for x in a_list if len(x)])
-        B = np.concatenate([np.asarray(x, dtype=np.int64) for x in b_list if len(x)])
         seg_a = np.repeat(np.arange(k, dtype=np.int64), la)
         seg_b = np.repeat(np.arange(k, dtype=np.int64), lb)
         mn = min(int(A.min()), int(B.min()))
@@ -199,33 +194,70 @@ def _make_batch_keys():
     return batch_keys
 
 
-_batch_keys = _make_batch_keys()  # module-level alias for tests/local use
+def _make_flatten():
+    """Arrow-side list flattening (closure, shipped by value): values +
+    lengths come straight from the ListArray buffers via pyarrow compute —
+    NO per-row pandas/numpy object handling (measured 12s/partition of
+    per-row asarray+concatenate under 32-way contention vs ~0.1s here)."""
+
+    def flatten(rb, name):
+        import numpy as np  # noqa: PLC0415
+        import pyarrow.compute as pc  # noqa: PLC0415
+
+        col = rb.column(name)
+        vals = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
+        return vals, lens
+
+    return flatten
+
+
+def _batch_keys(np, pdf):
+    """Pandas-frame convenience wrapper over the flattened key builder
+    (tests / local use; the production kernels consume Arrow directly)."""
+    a_list, b_list = pdf["nbrs_src"].values, pdf["nbrs_dst"].values
+    la = np.array([len(x) for x in a_list], dtype=np.int64)
+    lb = np.array([len(x) for x in b_list], dtype=np.int64)
+    cat = [np.asarray(x, dtype=np.int64) for x in a_list] + [
+        np.asarray(x, dtype=np.int64) for x in b_list
+    ]
+    flat = np.concatenate(cat) if cat else np.empty(0, dtype=np.int64)
+    A, B = flat[: int(la.sum())], flat[int(la.sum()):]
+    return _make_batch_keys()(np, A, la, B, lb)
 
 
 def _make_merge_kernel():
     """Merge-path intersection (graph.c:276-304 in spirit), vectorized over
-    the whole batch: concatenate both composite-key arrays, sort-merge, and
-    count adjacent duplicates (values are unique within each side of a row,
-    so every duplicate is one intersection hit).
+    the whole Arrow batch: concatenate both composite-key arrays,
+    sort-merge, and count adjacent duplicates (values are unique within
+    each side of a row, so every duplicate is one intersection hit).
 
     Defined as a closure so cloudpickle ships it BY VALUE — executors never
     need this package importable (works without --py-files in local mode;
     on a cluster, ship the zip anyway for the rest of the library).
     """
     bk = _make_batch_keys()
+    fl = _make_flatten()
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def kernel(batches):
         import numpy as np
+        import pyarrow as pa
 
         total = 0
-        for pdf in batches:
-            keys = bk(np, pdf)
+        for rb in batches:
+            A, la = fl(rb, "nbrs_src")
+            B, lb = fl(rb, "nbrs_dst")
+            keys = bk(np, A, la, B, lb)
             if keys is None:
                 continue
             comb = np.concatenate(keys)
             comb.sort()
             total += int(np.count_nonzero(comb[1:] == comb[:-1]))
-        yield pd.DataFrame({"partial": [total]})
+        yield pa.RecordBatch.from_pydict({"partial": [total]})
 
     return kernel
 
@@ -237,13 +269,17 @@ def _make_probe_kernel():
     at batch granularity (intersection is symmetric; the pick is a cost
     heuristic, and per-row swapping would reintroduce a Python loop)."""
     bk = _make_batch_keys()
+    fl = _make_flatten()
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def kernel(batches):
         import numpy as np
+        import pyarrow as pa
 
         total = 0
-        for pdf in batches:
-            keys = bk(np, pdf)
+        for rb in batches:
+            A, la = fl(rb, "nbrs_src")
+            B, lb = fl(rb, "nbrs_dst")
+            keys = bk(np, A, la, B, lb)
             if keys is None:
                 continue
             key_a, key_b = keys
@@ -253,7 +289,7 @@ def _make_probe_kernel():
             idx = np.searchsorted(key_big, key_small)
             idx[idx == len(key_big)] = 0
             total += int(np.count_nonzero(key_big[idx] == key_small))
-        yield pd.DataFrame({"partial": [total]})
+        yield pa.RecordBatch.from_pydict({"partial": [total]})
 
     return kernel
 
@@ -266,7 +302,9 @@ def _count_kernel(oriented: DataFrame, kernel: str) -> DataFrame:
     adj.count()
     try:
         pairs = _edge_adjacency_pairs(oriented, adj).select("nbrs_src", "nbrs_dst")
-        partials = pairs.mapInPandas(_KERNELS[kernel](), schema=_KERNEL_SCHEMA)
+        # mapInArrow, not mapInPandas: the kernels read list values +
+        # lengths straight from the Arrow buffers
+        partials = pairs.mapInArrow(_KERNELS[kernel](), schema=_KERNEL_SCHEMA)
         row = partials.agg(
             F.coalesce(F.sum("partial"), F.lit(0)).cast("long").alias("triangles")
         ).collect()[0]
@@ -306,25 +344,28 @@ def _count_partitioned(oriented: DataFrame, n_blocks: int | None = None) -> Data
     need = e.select(F.col("pid").alias("pid_r"), DST).distinct()
     adj_rep = adj.join(need, adj["v"] == need[DST]).select("pid_r", "v", "nbrs")
 
-    def block_kernel(edges_pdf: pd.DataFrame, adj_pdf: pd.DataFrame) -> pd.DataFrame:
+    def block_kernel(edges_t, adj_t):
         import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        m = len(edges_pdf)
-        if m == 0 or len(adj_pdf) == 0:
-            return pd.DataFrame({"partial": [0]})
-        s = edges_pdf[SRC].to_numpy(dtype=np.int64)
-        d = edges_pdf[DST].to_numpy(dtype=np.int64)
+        m = edges_t.num_rows
+        if m == 0 or adj_t.num_rows == 0:
+            return pa.table({"partial": pa.array([0], type=pa.int64())})
+        s = edges_t.column(SRC).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        d = edges_t.column(DST).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         # group this block's edges by src (the local CSR rows)
         order = np.argsort(s, kind="stable")
         s, d = s[order], d[order]
-        # dst-side adjacency lookup table
-        av = adj_pdf["v"].to_numpy(dtype=np.int64)
-        a_arrs = adj_pdf["nbrs"].values
-        alen = np.fromiter((len(x) for x in a_arrs), dtype=np.int64, count=len(av))
-        acat = (
-            np.concatenate([np.asarray(x, dtype=np.int64) for x in a_arrs])
-            if alen.sum()
-            else np.empty(0, dtype=np.int64)
+        # dst-side adjacency: flattened values + lengths straight from the
+        # Arrow list buffers (no per-row numpy object handling)
+        av = adj_t.column("v").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        nbrs = adj_t.column("nbrs")
+        acat = pc.list_flatten(nbrs).to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
+        alen = pc.list_value_length(nbrs).to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
         )
         aoff = np.zeros(len(av) + 1, dtype=np.int64)
         np.cumsum(alen, out=aoff[1:])
@@ -366,12 +407,12 @@ def _count_partitioned(oriented: DataFrame, n_blocks: int | None = None) -> Data
             )
             total += int(np.count_nonzero(mask[acat_code[offs]]))
             mask[row_codes] = False
-        return pd.DataFrame({"partial": [total]})
+        return pa.table({"partial": pa.array([total], type=pa.int64())})
 
     partials = (
         e.groupBy("pid")
         .cogroup(adj_rep.groupBy("pid_r"))
-        .applyInPandas(block_kernel, schema=_KERNEL_SCHEMA)
+        .applyInArrow(block_kernel, schema=_KERNEL_SCHEMA)
     )
     return partials.agg(
         F.coalesce(F.sum("partial"), F.lit(0)).cast("long").alias("triangles")

@@ -60,6 +60,59 @@ def streaming_degree_counts(edge_stream: DataFrame, watermark_col: str | None = 
     return sym.groupBy("v").agg(F.count(F.lit(1)).alias("degree"))
 
 
+def streaming_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival of each text hash.
+
+    ``dropDuplicates`` on the md5 of the text with a watermark bounds the
+    dedup state to the watermark horizon (the standard trade-off for
+    continuous ingest: exact dedup within the horizon, batch dedup across
+    horizons on the sink table — same md5 key as the batch operator
+    `functions/dedup.py:exact_dedup_groups`, so the two compose).
+    """
+    d = docs.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withColumn(
+        "text_hash", F.md5(F.col(text_col))
+    )
+    return d.withWatermark(ts_col, watermark).dropDuplicates(["text_hash"])
+
+
+def run_dedup_stream_demo(
+    spark, src_dir: str, out_dir: str, timeout_sec: int = 30
+) -> int:
+    """Drive streaming_exact_dedup end-to-end over the documents fixture
+    (duplicated texts collapse to first arrival). Returns rows written."""
+    batch = spark.read.parquet(src_dir)
+    if "ts" not in batch.columns:
+        batch = batch.withColumn(
+            "ts", F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        )
+    staged = f"{out_dir}/staged"
+    batch.write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(
+        spark.read.parquet(staged).schema
+    ).parquet(staged)
+    deduped = streaming_exact_dedup(stream)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/data")
+        .option("checkpointLocation", f"{out_dir}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+    try:
+        return spark.read.parquet(f"{out_dir}/data").count()
+    except Exception:  # noqa: BLE001 — empty sink
+        return 0
+
+
 def run_event_stream_demo(spark, src_dir: str, out_dir: str, timeout_sec: int = 30) -> int:
     """Drive the windowed aggregate end-to-end with the file source reading
     parquet event files from ``src_dir`` → parquet sink. Returns rows
