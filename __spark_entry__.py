@@ -186,6 +186,20 @@ def q_triangle_count_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_edges(spark, sf_dir), "level", assume_canonical=True)
 
 
+def q_triangle_count_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped CSR-block strategy — the beyond-memory scale plan."""
+    from triangle_counting_spark.operators.triangles import triangle_count
+
+    return triangle_count(_edges(spark, sf_dir), "part", assume_canonical=True)
+
+
+def q_triangle_count_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-CSR strategy — the fits-in-memory zero-shuffle plan."""
+    from triangle_counting_spark.operators.triangles import triangle_count
+
+    return triangle_count(_edges(spark, sf_dir), "bcast", assume_canonical=True)
+
+
 def q_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from triangle_counting_spark.operators.triangles import triangle_count_estimate
 
@@ -428,6 +442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_merge": q_triangle_count_merge,
         "triangle_count_probe": q_triangle_count_probe,
         "triangle_count_level": q_triangle_count_level,
+        "triangle_count_part": q_triangle_count_part,
+        "triangle_count_bcast": q_triangle_count_bcast,
         "triangle_estimate": q_triangle_estimate,
         "triangles_per_vertex": q_triangles_per_vertex,
         "degrees": q_degrees,
@@ -478,6 +494,8 @@ JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
         "triangle_count_merge": tri_sql,
         "triangle_count_probe": tri_sql,
         "triangle_count_level": tri_sql,
+        "triangle_count_part": tri_sql,
+        "triangle_count_bcast": tri_sql,
         "triangles_per_vertex": (
             "WITH "
             + EDGES_CTE

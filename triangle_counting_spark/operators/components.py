@@ -37,18 +37,30 @@ def connected_components(
     from pyspark.storagelevel import StorageLevel
 
     ce = canonical_edges(edges)
-    # joined every iteration — persist once (see pagerank.py note)
-    sym = symmetrize(ce).persist(StorageLevel.MEMORY_AND_DISK)
+    # joined every iteration — persist once, pre-partitioned on SRC so only
+    # the (much smaller) frontier side shuffles per round (pagerank.py note)
+    spark = edges.sparkSession
+    _nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    sym = (
+        symmetrize(ce).repartition(_nshuf, SRC).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     state0 = (
         ce.select(F.col(SRC).alias("v"))
         .union(ce.select(F.col(DST).alias("v")))
         .distinct()
-        .select("v", F.col("v").alias("component"))
+        .select("v", F.col("v").alias("component"), F.lit(True).alias("changed"))
     )
 
     def step(state: DataFrame, _i: int) -> DataFrame:
+        # delta iteration: a vertex's label can only improve via a neighbor
+        # whose label improved last round — join ONLY the changed frontier
         nbr_min = (
-            sym.join(state.select(F.col("v").alias(SRC), "component"), SRC)
+            sym.join(
+                state.where(F.col("changed")).select(
+                    F.col("v").alias(SRC), "component"
+                ),
+                SRC,
+            )
             .groupBy(F.col(DST).alias("v"))
             .agg(F.min("component").alias("nbr_component"))
         )
@@ -67,7 +79,8 @@ def connected_components(
         # O(diameter) rounds — a chain of 10^4 vertices would take 10^4
         # shuffles; one extra |V|-sized self-join per round makes label
         # paths halve each round → O(log diameter) total. Same fixpoint
-        # (min reachable id), just reached exponentially faster.
+        # (min reachable id), just reached exponentially faster. The parent
+        # lookup uses the FULL state (jumps aren't frontier-local).
         parent = state.select(
             F.col("v").alias("c1"), F.col("component").alias("parent_component")
         )
@@ -75,15 +88,18 @@ def connected_components(
             "v",
             F.least("c1", F.coalesce("parent_component", "c1")).alias("component"),
             "component_prev",
+        ).select(
+            "v",
+            "component",
+            "component_prev",
+            (F.col("component") < F.col("component_prev")).alias("changed"),
         )
 
     def delta_fn(_old: DataFrame, new: DataFrame, _i: int) -> float:
-        return float(
-            new.where(F.col("component") != F.col("component_prev")).count()
-        )
+        return float(new.where(F.col("changed")).count())
 
     result = loop(
-        state0.select("v", "component", F.col("component").alias("component_prev")),
+        state0,
         step,
         delta_fn,
         tol=0.0,
@@ -91,7 +107,7 @@ def connected_components(
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every,
         run_id=run_id,
-        fingerprint="cc|hash-min",
+        fingerprint="cc|hash-min-delta",
         resume=resume,
     )
     sym.unpersist()

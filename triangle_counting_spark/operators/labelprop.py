@@ -36,8 +36,12 @@ def label_propagation(
     from pyspark.storagelevel import StorageLevel
 
     ce = canonical_edges(edges)
-    # joined every iteration — persist once (see pagerank.py note)
-    sym = symmetrize(ce).persist(StorageLevel.MEMORY_AND_DISK)
+    # joined every iteration — persist once, pre-partitioned on SRC so the
+    # per-iteration vote join only shuffles the label table (pagerank.py note)
+    _nshuf = int(ce.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    sym = (
+        symmetrize(ce).repartition(_nshuf, SRC).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     state0 = (
         ce.select(F.col(SRC).alias("v"))
         .union(ce.select(F.col(DST).alias("v")))
