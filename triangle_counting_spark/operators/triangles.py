@@ -371,12 +371,20 @@ def _count_partitioned(oriented: DataFrame, n_blocks: int | None = None) -> Data
         np.cumsum(alen, out=aoff[1:])
         av_order = np.argsort(av, kind="stable")
         av_sorted = av[av_order]
-        # compact the probe value space so the scatter mask is small
-        # (original ids can be 2^63-sparse); ONE sort per block
-        uniq = np.unique(np.concatenate([d, acat]))
-        d_code = np.searchsorted(uniq, d)
-        acat_code = np.searchsorted(uniq, acat)
-        mask = np.zeros(len(uniq), dtype=bool)
+        # scatter-mask value space: ids already small enough index the mask
+        # DIRECTLY (a 2^26-entry bool mask is 64 MB/task — cheap next to the
+        # per-block unique sort it replaces); sparse 64-bit ids pay ONE
+        # unique + searchsorted compaction per block
+        mx = max(int(d.max(initial=0)), int(acat.max(initial=0)))
+        mn = min(int(d.min(initial=0)), int(acat.min(initial=0))) if len(d) else 0
+        if 0 <= mn and mx < (1 << 26):
+            d_code, acat_code = d, acat
+            mask = np.zeros(mx + 1, dtype=bool)
+        else:
+            uniq = np.unique(np.concatenate([d, acat]))
+            d_code = np.searchsorted(uniq, d)
+            acat_code = np.searchsorted(uniq, acat)
+            mask = np.zeros(len(uniq), dtype=bool)
         # per-edge dst adjacency row — membership-checked: a dst with no
         # outgoing oriented edges has NO adjacency row here (the inner join
         # dropped it) and closes no triangle
