@@ -39,3 +39,24 @@ def test_graph_from_rmat(spark):
 
     g = Graph.from_rmat(spark, scale=8, num_partitions=4)
     assert g.triangle_count("bcast") == g.triangle_count("sql")
+
+
+def test_graph_tier_dispatch(spark):
+    """tier="auto" routes small graphs to the blocked substrate; both tiers
+    agree (the cross-tier invariant the operators already test)."""
+    from triangle_counting_spark.graph import Graph
+    from triangle_counting_spark.plans.planner import choose_iterative_tier
+
+    g = Graph(make_edges(spark, TINY["two_triangles"][0]))
+    assert choose_iterative_tier(g.edges, assume_canonical=True) == "blocked"
+    assert choose_iterative_tier(g.edges, blocked_max_edges=2, assume_canonical=True) == "shuffle"
+    pr_b = {r.v: r.rank for r in g.pagerank(tier="blocked", tol=-1.0, max_iter=5).state.collect()}
+    pr_s = {r.v: r.rank for r in g.pagerank(tier="shuffle", tol=-1.0, max_iter=5).state.collect()}
+    assert set(pr_b) == set(pr_s)
+    for v in pr_b:
+        assert abs(pr_b[v] - pr_s[v]) < 1e-9
+    cc_b = {r.v: r.component for r in g.connected_components(tier="blocked").state.collect()}
+    cc_s = {r.v: r.component for r in g.connected_components(tier="shuffle").state.collect()}
+    assert cc_b == cc_s
+    lp = {r.v: r.label for r in g.label_propagation(2).collect()}
+    assert len(lp) == 6

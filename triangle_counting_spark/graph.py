@@ -118,17 +118,44 @@ class Graph:
 
         return bfs_levels(self.edges, roots=roots)
 
-    def pagerank(self, **kw):
+    def _tier(self, tier: str) -> str:
+        if tier != "auto":
+            return tier
+        from .plans.planner import choose_iterative_tier
+
+        return choose_iterative_tier(self.edges, assume_canonical=True)
+
+    def pagerank(self, tier: str = "auto", **kw):
+        """tier: "auto" picks the CSR-blocked broadcast substrate while the
+        graph fits memory, else the shuffle substrate (identical semantics,
+        cross-checked in tests)."""
+        if self._tier(tier) == "blocked":
+            from .operators.pagerank import pagerank_blocked
+
+            return pagerank_blocked(self.edges, assume_canonical=True, **kw)
         from .operators.pagerank import pagerank
 
         return pagerank(self.edges, **kw)
 
-    def connected_components(self, **kw):
+    def connected_components(self, tier: str = "auto", **kw):
+        if self._tier(tier) == "blocked":
+            from .operators.components import connected_components_blocked
+
+            return connected_components_blocked(
+                self.edges, assume_canonical=True, **kw
+            )
         from .operators.components import connected_components
 
         return connected_components(self.edges, **kw)
 
-    def label_propagation(self, iterations: int = 3):
+    def label_propagation(self, iterations: int = 3, tier: str = "auto") -> DataFrame:
+        """(v, label) after ``iterations`` synchronous rounds."""
+        if self._tier(tier) == "blocked":
+            from .operators.labelprop import label_propagation_blocked
+
+            return label_propagation_blocked(
+                self.edges, max_iter=iterations, assume_canonical=True
+            ).state
         from .operators.labelprop import label_propagation_fixed
 
         return label_propagation_fixed(self.edges, iterations)

@@ -47,6 +47,20 @@ class PlanChoice:
     reason: str
 
 
+def choose_iterative_tier(
+    edges: DataFrame,
+    blocked_max_edges: int = BCAST_MAX_EDGES,
+    assume_canonical: bool = False,
+) -> str:
+    """"blocked" (CSR-in-memory broadcast tier) while the graph fits a
+    driver/executor vector, else "shuffle" — the same memory-fit statistic
+    the triangle planner uses, applied to PageRank/CC/label propagation so
+    callers don't have to self-select the tier."""
+    ce = edges if assume_canonical else canonical_edges(edges)
+    m = ce.count()
+    return "blocked" if m <= blocked_max_edges else "shuffle"
+
+
 def choose_triangle_strategy(
     edges: DataFrame,
     small_edges: int = SMALL_GRAPH_EDGES,
