@@ -216,6 +216,17 @@ def q_triangle_count_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_edges(spark, sf_dir), "bcast", assume_canonical=True)
 
 
+def q_triangle_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental count under inserts: split the edge set ~85/15 by an
+    md5-prefix (replayable in SQL), treat the 15% as Δ, and count the
+    triangles Δ adds. Oracle: tc(all) − tc(old) via two 3-joins."""
+    from triangle_counting_spark.operators.triangles import triangle_count_delta
+
+    e = _edges(spark, sf_dir)
+    split = F.substring(F.md5(F.concat_ws(",", F.col("src"), F.col("dst"))), 1, 2)
+    return triangle_count_delta(e.where(split < "d9"), e.where(split >= "d9"))
+
+
 def q_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from triangle_counting_spark.operators.triangles import triangle_count_estimate
 
@@ -470,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_level": q_triangle_count_level,
         "triangle_count_part": q_triangle_count_part,
         "triangle_count_bcast": q_triangle_count_bcast,
+        "triangle_delta": q_triangle_delta,
         "triangle_estimate": q_triangle_estimate,
         "triangles_per_vertex": q_triangles_per_vertex,
         "degrees": q_degrees,
@@ -741,6 +753,25 @@ reach(v, l) AS (
   WHERE reach.l < sym.dst
 )
 SELECT v, MIN(l)::BIGINT AS component FROM reach GROUP BY v"""
+        ),
+        "triangle_delta": (
+            "WITH "
+            + EDGES_CTE
+            + """,
+old AS (
+  SELECT src, dst FROM edges WHERE substr(md5(src || ',' || dst), 1, 2) < 'd9'
+),
+t_all AS (
+  SELECT COUNT(*)::BIGINT AS t FROM edges e1
+  JOIN edges e2 ON e1.dst = e2.src
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+t_old AS (
+  SELECT COUNT(*)::BIGINT AS t FROM old e1
+  JOIN old e2 ON e1.dst = e2.src
+  JOIN old e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)
+SELECT ((SELECT t FROM t_all) - (SELECT t FROM t_old))::BIGINT AS triangles_added"""
         ),
         # md5-prefix edge sampling is replayed exactly: lowercase hex
         # compares lexicographically == numerically, and md5 is
