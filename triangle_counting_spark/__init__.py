@@ -23,4 +23,14 @@ join planning and AQE; Python appears only as vectorized pandas/Arrow UDFs
 (`applyInPandas` / `mapInPandas`) — never per-row Python.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def __getattr__(name):
+    # lazy so `import triangle_counting_spark` stays cheap; the facade is
+    # the documented one-import entry point (README Quick start)
+    if name == "Graph":
+        from .graph import Graph
+
+        return Graph
+    raise AttributeError(name)

@@ -76,6 +76,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 128 MB input splits: at 100 TB that is ~800k scan tasks — small
+        # enough that one task's rows (+ its shuffle write buffers) fit
+        # executor memory even on array-heavy adjacency rows, large enough
+        # to amortize task startup. Raise for pure-columnar narrow scans.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -122,16 +122,20 @@ def file_cooccurrence_edges(
     files: DataFrame,
     lang: str | None = None,
     max_repo_files: int | None = None,
+    salt_heavy: int | None = None,
 ) -> DataFrame:
     """(src, dst) between files of the same repo (f1.repo = f2.repo AND
     f1 < f2), optionally restricted to one language. The engine's flagship
     derivation (SURVEY.md §7.1 step 1); the `content` column is never read —
-    Catalyst prunes it out of the scan."""
+    Catalyst prunes it out of the scan. ``salt_heavy``: split mega-repos
+    above µ+2σ into that many salt buckets (see cooccurrence_edges)."""
     f = files
     if lang is not None:
         f = f.where(F.col("lang") == lang)
     verts = f.select("repo", F.xxhash64("repo", "path").alias("fid"))
-    return cooccurrence_edges(verts, "repo", "fid", max_group_size=max_repo_files)
+    return cooccurrence_edges(
+        verts, "repo", "fid", max_group_size=max_repo_files, salt_heavy=salt_heavy
+    )
 
 
 def sha256_audit(files: DataFrame, derived: DataFrame) -> DataFrame:
