@@ -318,6 +318,14 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triangle_counting_spark.functions.dedup import neardup_clusters
+
+    return neardup_clusters(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=JACCARD_MIN
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from triangle_counting_spark.functions.text import language_stats
 
@@ -495,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_light_edges": q_heavy_light_edges,
         "dedup_exact": q_dedup_exact,
         "neardup_jaccard": q_neardup_jaccard,
+        "neardup_clusters": q_neardup_clusters,
         "text_stats": q_text_stats,
         "doc_quality": q_doc_quality,
         "similarity_topk": q_similarity_topk,
@@ -632,6 +641,44 @@ SELECT id_a, id_b,
        ROUND(c / (sa.sz + sb.sz - c), 6) AS jaccard
 FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE c / (sa.sz + sb.sz - c) >= {JACCARD_MIN}""",
+        "neardup_clusters": f"""
+WITH RECURSIVE words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[i:i+2], ' ') AS sh
+  FROM words, UNNEST(generate_series(1, GREATEST(len(w)-2, 1))) t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS c
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c / (sa.sz + sb.sz - c) >= {JACCARD_MIN}
+),
+sympairs AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b AS a, id_a AS b FROM pairs
+),
+docs AS (SELECT DISTINCT doc_id::BIGINT AS doc_id FROM documents),
+reach(v, l) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT s.b, reach.l FROM sympairs s JOIN reach ON s.a = reach.v
+  WHERE reach.l < s.b
+),
+comp AS (SELECT v AS doc_id, MIN(l)::BIGINT AS cluster_keep_id FROM reach GROUP BY v),
+csizes AS (
+  SELECT cluster_keep_id, COUNT(*)::BIGINT AS cluster_size FROM comp
+  GROUP BY cluster_keep_id
+)
+SELECT comp.doc_id, comp.cluster_keep_id, csizes.cluster_size
+FROM comp JOIN csizes USING (cluster_keep_id)""",
         "text_stats": """
 SELECT lang,
        COUNT(*)::BIGINT AS n_docs,

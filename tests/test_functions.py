@@ -111,3 +111,26 @@ def test_text_functions(spark, docs):
     assert fp[0] == fp[3] and fp[0] != fp[1]
     tc = {r.doc_id: r.ws_tokens for r in token_counts(docs).collect()}
     assert tc[0] == 9
+
+
+def test_neardup_clusters_transitive(spark):
+    """A~B and B~C near-dups (A!~C directly) must land in ONE cluster —
+    the transitive closure that pair lists alone don't give."""
+    from triangle_counting_spark.functions.dedup import neardup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),          # ~1
+            (3, base + " extra words"),    # ~2 (and ~1)
+            (4, "completely different text about unrelated things entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.cluster_keep_id, r.cluster_size)
+        for r in neardup_clusters(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
+    assert got[4] == (4, 1)  # singleton keeps itself

@@ -79,6 +79,46 @@ def ngram_jaccard_pairs(
     )
 
 
+def neardup_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_docfreq: int | None = None,
+) -> DataFrame:
+    """(doc_id, cluster_keep_id, cluster_size) — transitive near-duplicate
+    clusters: docs are vertices, Jaccard-≥-threshold pairs are edges, a
+    cluster is a connected component, and the kept representative is the
+    component's minimum doc id (the standard dedup-pipeline shape: pairs →
+    union-find → keep-one). Composes the engine's own operators — the
+    near-dup pair join feeds the connected-components substrate — so it
+    inherits both of their scale paths. Singleton docs keep themselves.
+    """
+    from ..operators.components import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, n=n, threshold=threshold,
+        max_shingle_docfreq=max_shingle_docfreq,
+    )
+    docs = df.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    ).state
+    labeled = docs.join(
+        comp.select(F.col("v").alias("doc_id"), "component"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("cluster_keep_id"),
+    )
+    sizes = labeled.groupBy("cluster_keep_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster_keep_id").select(
+        "doc_id", "cluster_keep_id", "cluster_size"
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 64, seed: int = 7
 ) -> DataFrame:
