@@ -148,6 +148,57 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}"""
 
 _STOPWORDS_SQL = "['the','a','of','and','to','in','is','it','for','on']"
 
+KCORE_K = 80
+KTRUSS_K = 12
+_PEEL_ROUNDS = 8  # fixpoint at sf0.01 is 4 (core) / 5 (truss); peeling is
+#                  idempotent at the fixpoint, so extra unrolled rounds are
+#                  harmless — the margin covers fixture drift
+
+
+def _kcore_sql(k: int, rounds: int = _PEEL_ROUNDS) -> str:
+    """Unrolled k-core peel: each round recomputes within-subgraph degrees
+    and keeps edges whose BOTH endpoints have degree ≥ k."""
+    cte = ["e0 AS MATERIALIZED (SELECT src, dst FROM edges)"]
+    for i in range(1, rounds + 1):
+        cte.append(
+            f"""v{i} AS MATERIALIZED (
+  SELECT v FROM (
+    SELECT src AS v FROM e{i-1} UNION ALL SELECT dst AS v FROM e{i-1}
+  ) GROUP BY v HAVING COUNT(*) >= {k}
+),
+e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{i-1} e
+  JOIN v{i} a ON e.src = a.v JOIN v{i} b ON e.dst = b.v
+)"""
+        )
+    return (
+        "WITH " + EDGES_CTE + ",\n" + ",\n".join(cte)
+        + f"\nSELECT src, dst FROM e{rounds}"
+    )
+
+
+def _ktruss_sql(k: int, rounds: int = _PEEL_ROUNDS) -> str:
+    """Unrolled k-truss peel: each round counts common neighbors per edge
+    within the current subgraph and keeps support ≥ k-2."""
+    cte = ["t0 AS MATERIALIZED (SELECT src, dst FROM edges)"]
+    for i in range(1, rounds + 1):
+        cte.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM t{i-1}
+  UNION ALL SELECT dst AS a, src AS b FROM t{i-1}
+),
+t{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM t{i-1} e
+  JOIN s{i} w1 ON w1.a = e.src
+  JOIN s{i} w2 ON w2.a = e.dst AND w2.b = w1.b
+  GROUP BY e.src, e.dst HAVING COUNT(*) >= {k - 2}
+)"""
+        )
+    return (
+        "WITH " + EDGES_CTE + ",\n" + ",\n".join(cte)
+        + f"\nSELECT src, dst FROM t{rounds}"
+    )
+
 _TOPK_SQL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 q AS (SELECT * FROM e WHERE vec_id < {TOPK_NQUERY}),
@@ -214,6 +265,18 @@ def q_triangle_count_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from triangle_counting_spark.operators.triangles import triangle_count
 
     return triangle_count(_edges(spark, sf_dir), "bcast", assume_canonical=True)
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triangle_counting_spark.operators.subgraphs import kcore_edges
+
+    return kcore_edges(_edges(spark, sf_dir), KCORE_K)
+
+
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triangle_counting_spark.operators.subgraphs import ktruss_edges
+
+    return ktruss_edges(_edges(spark, sf_dir), KTRUSS_K)
 
 
 def q_triangle_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,6 +552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_level": q_triangle_count_level,
         "triangle_count_part": q_triangle_count_part,
         "triangle_count_bcast": q_triangle_count_bcast,
+        "kcore": q_kcore,
+        "ktruss": q_ktruss,
         "triangle_delta": q_triangle_delta,
         "triangle_estimate": q_triangle_estimate,
         "triangles_per_vertex": q_triangles_per_vertex,
@@ -801,6 +866,8 @@ reach(v, l) AS (
 )
 SELECT v, MIN(l)::BIGINT AS component FROM reach GROUP BY v"""
         ),
+        "kcore": _kcore_sql(KCORE_K),
+        "ktruss": _ktruss_sql(KTRUSS_K),
         "triangle_delta": (
             "WITH "
             + EDGES_CTE
