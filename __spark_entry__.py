@@ -78,6 +78,44 @@ def _pagerank_sql() -> str:
     )
 
 
+def _pagerank_weighted_sql() -> str:
+    """Weighted power iteration: contribution = rank·w/Σ_out w, weight =
+    number of shared orders (matches cooccurrence_weighted_edges)."""
+    pre = """
+wedges AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+         COUNT(DISTINCT a.l_orderkey)::DOUBLE AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+wsym AS MATERIALIZED (
+  SELECT src, dst, w FROM wedges
+  UNION ALL SELECT dst AS src, src AS dst, w FROM wedges
+),
+wverts AS (SELECT DISTINCT src AS v FROM wsym),
+wdeg AS (SELECT src AS v, SUM(w) AS wd FROM wsym GROUP BY src),
+params AS (SELECT COUNT(*)::DOUBLE AS n FROM wverts)
+"""
+    its = ["r0 AS (SELECT v, 1.0/(SELECT n FROM params) AS rank FROM wverts)"]
+    for i in range(1, PR_ITERS + 1):
+        its.append(
+            f"""r{i} AS (
+  SELECT wverts.v,
+         (1-{PR_DAMPING})/(SELECT n FROM params) + {PR_DAMPING}*COALESCE(g.s, 0.0) AS rank
+  FROM wverts LEFT JOIN (
+    SELECT wsym.dst AS v, SUM(r{i-1}.rank / wdeg.wd * wsym.w) AS s
+    FROM wsym JOIN r{i-1} ON wsym.src = r{i-1}.v JOIN wdeg ON wdeg.v = wsym.src
+    GROUP BY wsym.dst
+  ) g ON wverts.v = g.v
+)"""
+        )
+    return (
+        "WITH " + pre + ",\n" + ",\n".join(its)
+        + f"\nSELECT v, ROUND(rank, 6) AS rank FROM r{PR_ITERS}"
+    )
+
+
 def _labelprop_sql() -> str:
     its = ["l0 AS (SELECT v, v AS label FROM verts)"]
     for i in range(1, LP_ITERS + 1):
@@ -335,6 +373,19 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("v", F.round("rank", 6).alias("rank"))
 
 
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank: rank distributed ∝ edge weight (number of shared
+    orders), the natural link-strength for co-occurrence graphs."""
+    from triangle_counting_spark.operators.pagerank import pagerank_fixed
+    from triangle_counting_spark.sources.edges import cooccurrence_weighted_edges
+
+    we = cooccurrence_weighted_edges(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
+    )
+    pr = pagerank_fixed(we, PR_ITERS, damping=PR_DAMPING, weight_col="weight")
+    return pr.select("v", F.round("rank", 6).alias("rank"))
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from triangle_counting_spark.operators.components import connected_components
 
@@ -561,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_stats": q_degree_stats,
         "wedge_count": q_wedge_count,
         "pagerank": q_pagerank,
+        "pagerank_weighted": q_pagerank_weighted,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "label_propagation_blocked": q_label_propagation_blocked,
@@ -641,6 +693,7 @@ FROM deg"""
             + "\nSELECT SUM(degree*(degree-1)/2)::BIGINT AS wedges FROM deg"
         ),
         "pagerank": _pagerank_sql(),
+        "pagerank_weighted": _pagerank_weighted_sql(),
         "connected_components": (
             "WITH RECURSIVE "
             + EDGES_CTE

@@ -152,3 +152,41 @@ def test_stopword_ratio_occurrence_based(spark):
     assert got[1] == pytest.approx(1.0)
     assert got[2] == pytest.approx(0.4)
     assert got[3] == pytest.approx(0.0)
+
+
+def test_weighted_pagerank_vs_numpy(spark):
+    """Weighted PageRank against a numpy oracle: rank flows ∝ edge weight."""
+    from triangle_counting_spark.operators.pagerank import pagerank_fixed
+
+    edges = [(1, 2, 3.0), (2, 3, 1.0), (1, 3, 1.0)]
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    got = {
+        r.v: r.rank
+        for r in pagerank_fixed(e, 8, weight_col="weight").collect()
+    }
+    ids = [1, 2, 3]
+    idx = {v: i for i, v in enumerate(ids)}
+    sym = edges + [(b, a, w) for a, b, w in edges]
+    wout = {v: sum(w for a, _, w in sym if a == v) for v in ids}
+    r = np.full(3, 1 / 3)
+    for _ in range(8):
+        c = np.zeros(3)
+        for a, b, w in sym:
+            c[idx[b]] += r[idx[a]] * w / wout[a]
+        r = 0.15 / 3 + 0.85 * c
+    for v in ids:
+        assert got[v] == pytest.approx(r[idx[v]], abs=1e-9)
+    # weight matters: vertex 2 (heavy edge to 1) outranks vertex 3
+    assert got[2] > got[3]
+
+
+def test_weighted_mtx_roundtrip(spark, tmp_path):
+    from triangle_counting_spark.sources.mtx import read_mtx
+
+    p = tmp_path / "w.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real symmetric\n"
+        "3 3 3\n1 2 0.5\n2 1 0.75\n2 3 1.5\n"
+    )
+    got = {(r.src, r.dst): r.weight for r in read_mtx(spark, str(p), weighted=True).collect()}
+    assert got == {(0, 1): 0.75, (1, 2): 1.5}  # max weight wins on dup

@@ -160,6 +160,25 @@ class Graph:
 
         return label_propagation_fixed(self.edges, iterations)
 
+    def triangle_count_delta(self, delta_edges: DataFrame) -> int:
+        """Triangles added by inserting ``delta_edges`` (incremental)."""
+        from .operators.triangles import triangle_count_delta
+
+        return int(
+            triangle_count_delta(self.edges, delta_edges)
+            .collect()[0]["triangles_added"]
+        )
+
+    def kcore(self, k: int) -> "Graph":
+        from .operators.subgraphs import kcore_edges
+
+        return Graph(kcore_edges(self.edges, k), assume_canonical=True)
+
+    def ktruss(self, k: int) -> "Graph":
+        from .operators.subgraphs import ktruss_edges
+
+        return Graph(ktruss_edges(self.edges, k), assume_canonical=True)
+
     def plan(self):
         """The statistic-driven strategy choice (tc_bader_hybrid analog)."""
         from .plans.planner import choose_triangle_strategy

@@ -45,6 +45,7 @@ def pagerank(
     run_id: str | None = None,
     resume: bool = True,
     directed: bool = False,
+    weight_col: str | None = None,
 ) -> LoopResult:
     """Returns LoopResult whose state is ``(v: long, rank: double)``,
     Σ rank = 1. Convergence: max |Δrank| <= tol (north-rule allclose 1e-6).
@@ -52,12 +53,39 @@ def pagerank(
     ``directed=False`` treats the canonical edge table as undirected
     (each edge contributes both directions), matching the reference's
     symmetric graphs (main.c:342-347).
+
+    ``weight_col``: optional edge-weight column — a vertex distributes its
+    rank proportionally to outgoing edge weight (rank·w/Σw) instead of
+    uniformly. The edge table must already be deduplicated per (src, dst)
+    in weighted mode (canonical_edges would drop the weights).
     """
     from pyspark.storagelevel import StorageLevel
 
-    # directed graphs keep their original (src, dst) orientation —
-    # canonical_edges would silently re-orient every edge src < dst
-    ce = directed_edges(edges) if directed else canonical_edges(edges)
+    w = weight_col
+    if w is None:
+        # directed graphs keep their original (src, dst) orientation —
+        # canonical_edges would silently re-orient every edge src < dst
+        ce = directed_edges(edges) if directed else canonical_edges(edges)
+        base_edges = symmetrize(ce) if not directed else ce.select(SRC, DST)
+        base_edges = base_edges.select(SRC, DST, F.lit(1.0).alias("_w"))
+    else:
+        s, d = F.col(SRC).cast("long"), F.col(DST).cast("long")
+        ce = (
+            edges.select(
+                s.alias(SRC), d.alias(DST), F.col(w).cast("double").alias("_w")
+            )
+            .where(F.col(SRC) != F.col(DST))
+            .where(F.col(SRC).isNotNull() & F.col(DST).isNotNull())
+        )
+        base_edges = (
+            ce
+            if directed
+            else ce.select(SRC, DST, "_w").union(
+                ce.select(
+                    F.col(DST).alias(SRC), F.col(SRC).alias(DST), F.col("_w")
+                )
+            )
+        )
     # the edge table is read EVERY iteration — persist it once or each
     # iteration re-runs the whole upstream derivation (at 100 TB: re-persist
     # to disk-backed storage or write a bucketed table instead).
@@ -66,10 +94,8 @@ def pagerank(
     # shuffles each iteration (see step()).
     spark = edges.sparkSession
     _nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    out_edges = (
-        (symmetrize(ce) if not directed else ce.select(SRC, DST))
-        .repartition(_nshuf, SRC)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    out_edges = base_edges.repartition(_nshuf, SRC).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     verts = _vertices(ce, vertices)
     n = verts.count()
@@ -78,7 +104,7 @@ def pagerank(
         return LoopResult(state=empty, iterations=0, converged=True, delta=0.0)
 
     outdeg = out_edges.groupBy(F.col(SRC).alias("v")).agg(
-        F.count(F.lit(1)).cast("double").alias("outdeg")
+        F.sum("_w").alias("outdeg")
     )
     # vertex ledger: rank + outdeg (0 for dangling) carried together so each
     # iteration is exactly one join + one agg + one join
@@ -106,7 +132,7 @@ def pagerank(
                 SRC,
             )
             .groupBy(F.col(DST).alias("v"))
-            .agg(F.sum("c").alias("gathered"))
+            .agg(F.sum(F.col("c") * F.col("_w")).alias("gathered"))
         )
         const = (1.0 - damping) / n + damping * dangling / n
         return (
@@ -134,7 +160,10 @@ def pagerank(
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every,
         run_id=run_id,
-        fingerprint=f"pagerank|d={damping}|tol={tol}|n={n}|directed={directed}",
+        fingerprint=(
+            f"pagerank|d={damping}|tol={tol}|n={n}|directed={directed}"
+            f"|weighted={weight_col is not None}"
+        ),
         resume=resume,
     )
     out_edges.unpersist()
@@ -143,13 +172,18 @@ def pagerank(
 
 
 def pagerank_fixed(
-    edges: DataFrame, iterations: int, damping: float = 0.85, directed: bool = False
+    edges: DataFrame,
+    iterations: int,
+    damping: float = 0.85,
+    directed: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Exactly ``iterations`` synchronous power iterations, no convergence
     test — the oracle-comparable deterministic variant (generated-SQL
     oracles can't express convergence loops)."""
     res = pagerank(
-        edges, damping=damping, tol=-1.0, max_iter=iterations, directed=directed
+        edges, damping=damping, tol=-1.0, max_iter=iterations,
+        directed=directed, weight_col=weight_col,
     )
     return res.state
 

@@ -101,6 +101,35 @@ def cooccurrence_edges(
     )
 
 
+def cooccurrence_weighted_edges(
+    items: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """(src, dst, weight) — co-occurrence edges weighted by the NUMBER of
+    shared groups (parts sharing 3 orders → weight 3.0). The natural edge
+    strength for link graphs; feeds weighted PageRank. Same skew-safe
+    self-equi-join as :func:`cooccurrence_edges`, with the distinct
+    replaced by a count aggregate (identical shuffle shape)."""
+    base = items.select(
+        F.col(group_col).alias("g"), F.col(item_col).cast("long").alias("i")
+    ).where(F.col(item_col).isNotNull()).distinct()
+    if max_group_size is not None:
+        sizes = base.groupBy("g").agg(F.count(F.lit(1)).alias("_gsz"))
+        base = base.join(
+            sizes.where(F.col("_gsz") <= max_group_size).select("g"), "g", "left_semi"
+        )
+    a = base.select("g", F.col("i").alias(SRC))
+    b = base.select("g", F.col("i").alias(DST))
+    return (
+        a.join(b, "g")
+        .where(F.col(SRC) < F.col(DST))
+        .groupBy(SRC, DST)
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+
+
 def file_vertices(files: DataFrame) -> DataFrame:
     """Vertex table for the source-code files input
     (repo, path, commit, lang, content): one vertex per file,

@@ -44,8 +44,15 @@ def _read_header(spark: SparkSession, path: str) -> tuple[str, int, int, int]:
     raise ValueError(f"no MatrixMarket header found in {path}")
 
 
-def read_mtx(spark: SparkSession, path: str) -> DataFrame:
-    """Canonical (src, dst) edge table from a MatrixMarket file."""
+def read_mtx(
+    spark: SparkSession, path: str, weighted: bool = False
+) -> DataFrame:
+    """Canonical (src, dst) edge table from a MatrixMarket file.
+
+    ``weighted=True``: also return the entry value as ``weight`` (1.0 for
+    pattern files); duplicate/reversed entries keep the MAX weight per
+    canonical edge (deterministic; the reference discards weights
+    entirely, main.c:296-384)."""
     header, _rows, _cols, nnz = _read_header(spark, path)
     lines = spark.read.text(path).where(
         ~F.col("value").startswith("%") & (F.trim("value") != "")
@@ -60,9 +67,22 @@ def read_mtx(spark: SparkSession, path: str) -> DataFrame:
     pairs = toks.where(F.size("t") >= 2).select(
         (F.element_at("t", 1).cast("long") - 1).alias("src"),
         (F.element_at("t", 2).cast("long") - 1).alias("dst"),
+        F.when(F.size("t") >= 3, F.element_at("t", 3).cast("double"))
+        .otherwise(F.lit(1.0))
+        .alias("weight"),
     )
-    edges = canonical_edges(pairs)
     if nnz > 0 and not pairs.limit(1).count():
         raise ValueError(f"MatrixMarket file {path}: header says nnz={nnz} "
                          "but no entry lines parsed")
-    return edges
+    if not weighted:
+        return canonical_edges(pairs)
+    s, d = F.col("src"), F.col("dst")
+    return (
+        pairs.select(
+            F.least(s, d).alias("src"), F.greatest(s, d).alias("dst"), "weight"
+        )
+        .where(F.col("src") != F.col("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.max("weight").alias("weight"))
+    )
