@@ -116,6 +116,36 @@ params AS (SELECT COUNT(*)::DOUBLE AS n FROM wverts)
     )
 
 
+def _pagerank_personalized_sql() -> str:
+    """Personalized PageRank: teleport mass on the TWO smallest vertex ids
+    (tele = 0.5 each); per-vertex constant mirrors the engine's float ops
+    exactly (tele * (1-d) with d*dangling = 0 on these graphs)."""
+    const = repr(1.0 - PR_DAMPING + PR_DAMPING * 0.0)
+    pre = """srcs AS (SELECT v FROM verts ORDER BY v LIMIT 2),
+tele AS (
+  SELECT verts.v,
+         CASE WHEN verts.v IN (SELECT v FROM srcs) THEN 0.5 ELSE 0.0 END AS t
+  FROM verts
+)"""
+    its = ["r0 AS (SELECT v, t AS rank FROM tele)"]
+    for i in range(1, PR_ITERS + 1):
+        its.append(
+            f"""r{i} AS (
+  SELECT tele.v,
+         tele.t * {const} + {PR_DAMPING}*COALESCE(g.s, 0.0) AS rank
+  FROM tele LEFT JOIN (
+    SELECT sym.dst AS v, SUM(r{i-1}.rank / deg.degree) AS s
+    FROM sym JOIN r{i-1} ON sym.src = r{i-1}.v JOIN deg ON deg.v = sym.src
+    GROUP BY sym.dst
+  ) g ON tele.v = g.v
+)"""
+        )
+    return (
+        "WITH " + EDGES_CTE + ",\n" + pre + ",\n" + ",\n".join(its)
+        + f"\nSELECT v, ROUND(rank, 6) AS rank FROM r{PR_ITERS}"
+    )
+
+
 def _labelprop_sql() -> str:
     its = ["l0 AS (SELECT v, v AS label FROM verts)"]
     for i in range(1, LP_ITERS + 1):
@@ -386,6 +416,25 @@ def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("v", F.round("rank", 6).alias("rank"))
 
 
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the two smallest vertex ids (proximity
+    scores to that seed set)."""
+    from triangle_counting_spark.operators.pagerank import pagerank_fixed
+
+    e = _edges(spark, sf_dir)
+    seeds = [
+        int(r.v)
+        for r in e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .orderBy("v")
+        .limit(2)
+        .collect()
+    ]
+    pr = pagerank_fixed(e, PR_ITERS, damping=PR_DAMPING, personalized_for=seeds)
+    return pr.select("v", F.round("rank", 6).alias("rank"))
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from triangle_counting_spark.operators.components import connected_components
 
@@ -613,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wedge_count": q_wedge_count,
         "pagerank": q_pagerank,
         "pagerank_weighted": q_pagerank_weighted,
+        "pagerank_personalized": q_pagerank_personalized,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "label_propagation_blocked": q_label_propagation_blocked,
@@ -694,6 +744,7 @@ FROM deg"""
         ),
         "pagerank": _pagerank_sql(),
         "pagerank_weighted": _pagerank_weighted_sql(),
+        "pagerank_personalized": _pagerank_personalized_sql(),
         "connected_components": (
             "WITH RECURSIVE "
             + EDGES_CTE

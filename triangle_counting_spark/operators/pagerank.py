@@ -46,6 +46,7 @@ def pagerank(
     resume: bool = True,
     directed: bool = False,
     weight_col: str | None = None,
+    personalized_for: list[int] | None = None,
 ) -> LoopResult:
     """Returns LoopResult whose state is ``(v: long, rank: double)``,
     Σ rank = 1. Convergence: max |Δrank| <= tol (north-rule allclose 1e-6).
@@ -58,6 +59,11 @@ def pagerank(
     rank proportionally to outgoing edge weight (rank·w/Σw) instead of
     uniformly. The edge table must already be deduplicated per (src, dst)
     in weighted mode (canonical_edges would drop the weights).
+
+    ``personalized_for``: optional source-vertex set S — the teleport (and
+    dangling) mass lands uniformly on S instead of all vertices
+    (personalized PageRank: rank = proximity to S). Initial rank is also
+    concentrated on S.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -106,12 +112,24 @@ def pagerank(
     outdeg = out_edges.groupBy(F.col(SRC).alias("v")).agg(
         F.sum("_w").alias("outdeg")
     )
-    # vertex ledger: rank + outdeg (0 for dangling) carried together so each
-    # iteration is exactly one join + one agg + one join
+    # vertex ledger: rank + outdeg (0 for dangling) + teleport probability
+    # carried together so each iteration is exactly one join + one agg +
+    # one join. tele(v) = 1/n globally, or 1/|S| on the personalization
+    # set (0 elsewhere) — teleport AND dangling mass both land on tele.
     base = verts.join(outdeg, "v", "left").select(
         "v", F.coalesce("outdeg", F.lit(0.0)).alias("outdeg")
     )
-    state0 = base.select("v", "outdeg", F.lit(1.0 / n).alias("rank"))
+    if personalized_for is not None:
+        srcs = {int(x) for x in personalized_for}
+        if not srcs:
+            raise ValueError("personalized_for must be a non-empty vertex set")
+        tele = F.when(F.col("v").isin(srcs), F.lit(1.0 / len(srcs))).otherwise(
+            F.lit(0.0)
+        )
+    else:
+        tele = F.lit(1.0 / n)
+    base = base.select("v", "outdeg", tele.alias("tele"))
+    state0 = base.select("v", "outdeg", "tele", F.col("tele").alias("rank"))
     # undirected edge-derived graphs have no dangling vertices; skip the
     # per-iteration dangling-mass job entirely unless some exist
     has_dangling = base.where(F.col("outdeg") == 0.0).limit(1).count() > 0
@@ -134,16 +152,24 @@ def pagerank(
             .groupBy(F.col(DST).alias("v"))
             .agg(F.sum(F.col("c") * F.col("_w")).alias("gathered"))
         )
-        const = (1.0 - damping) / n + damping * dangling / n
+        if personalized_for is None:
+            # driver-side constant, float-identical to the generated SQL
+            # oracle's (1-d)/n + d*dangling/n term (last-ulp parity matters
+            # at round-6 boundaries)
+            base_rank = F.lit((1.0 - damping) / n + damping * dangling / n)
+        else:
+            base_rank = F.col("tele") * F.lit(1.0 - damping + damping * dangling)
         return (
-            state.select("v", "outdeg", F.col("rank").alias("rank_prev"))
+            state.select("v", "outdeg", "tele", F.col("rank").alias("rank_prev"))
             .join(contribs, "v", "left")
             .select(
                 "v",
                 "outdeg",
-                (F.lit(const) + F.lit(damping) * F.coalesce("gathered", F.lit(0.0))).alias(
-                    "rank"
-                ),
+                "tele",
+                (
+                    base_rank
+                    + F.lit(damping) * F.coalesce("gathered", F.lit(0.0))
+                ).alias("rank"),
                 "rank_prev",
             )
         )
@@ -153,7 +179,7 @@ def pagerank(
 
     result = loop(
         state0,
-        lambda s, i: step(s, i).select("v", "outdeg", "rank", "rank_prev"),
+        lambda s, i: step(s, i).select("v", "outdeg", "tele", "rank", "rank_prev"),
         delta_fn,
         tol=tol,
         max_iter=max_iter,
@@ -163,6 +189,7 @@ def pagerank(
         fingerprint=(
             f"pagerank|d={damping}|tol={tol}|n={n}|directed={directed}"
             f"|weighted={weight_col is not None}"
+            f"|ppr={sorted(personalized_for) if personalized_for else None}"
         ),
         resume=resume,
     )
@@ -177,6 +204,7 @@ def pagerank_fixed(
     damping: float = 0.85,
     directed: bool = False,
     weight_col: str | None = None,
+    personalized_for: list[int] | None = None,
 ) -> DataFrame:
     """Exactly ``iterations`` synchronous power iterations, no convergence
     test — the oracle-comparable deterministic variant (generated-SQL
@@ -184,6 +212,7 @@ def pagerank_fixed(
     res = pagerank(
         edges, damping=damping, tol=-1.0, max_iter=iterations,
         directed=directed, weight_col=weight_col,
+        personalized_for=personalized_for,
     )
     return res.state
 
