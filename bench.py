@@ -88,6 +88,23 @@ def main() -> None:
     pagerank_fixed(edges, 10).agg(F.sum("rank")).collect()
     times["pagerank_10it"] = round(time.time() - t0, 3)
 
+    from triangle_counting_spark.sources.edges import cooccurrence_weighted_edges
+    t0 = time.time()
+    we = cooccurrence_weighted_edges(lineitem, "l_orderkey", "l_partkey")
+    pagerank_fixed(we, 10, weight_col="weight").agg(F.sum("rank")).collect()
+    times["pagerank_weighted_10it"] = round(time.time() - t0, 3)
+
+    from triangle_counting_spark.operators.subgraphs import kcore_edges
+    t0 = time.time()
+    kcore_edges(edges, 80).count()
+    times["kcore_80"] = round(time.time() - t0, 3)
+
+    from triangle_counting_spark.operators.triangles import triangle_count_delta
+    t0 = time.time()
+    split = F.substring(F.md5(F.concat_ws(",", F.col("src"), F.col("dst"))), 1, 2)
+    triangle_count_delta(edges.where(split < "d9"), edges.where(split >= "d9")).collect()
+    times["triangle_delta_15pct"] = round(time.time() - t0, 3)
+
     from triangle_counting_spark.operators.pagerank import pagerank_blocked
     t0 = time.time()
     pagerank_blocked(edges, tol=-1.0, max_iter=10, assume_canonical=True).state.agg(
