@@ -168,6 +168,44 @@ def _labelprop_sql() -> str:
     )
 
 
+def _labelprop_weighted_sql() -> str:
+    """Weighted LP: votes are Σ edge weight (shared-order counts) instead
+    of neighbor counts; (weight desc, label asc) tie-break."""
+    pre = """
+wedges AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+         COUNT(DISTINCT a.l_orderkey)::DOUBLE AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+wsym AS MATERIALIZED (
+  SELECT src, dst, w FROM wedges
+  UNION ALL SELECT dst AS src, src AS dst, w FROM wedges
+),
+wverts AS (SELECT DISTINCT src AS v FROM wsym)
+"""
+    its = ["l0 AS (SELECT v, v AS label FROM wverts)"]
+    for i in range(1, LP_ITERS + 1):
+        its.append(
+            f"""l{i} AS (
+  SELECT t.v, COALESCE(wn.label, t.label) AS label
+  FROM l{i-1} t LEFT JOIN (
+    SELECT v, label FROM (
+      SELECT wsym.dst AS v, l.label AS label, SUM(wsym.w) AS wt,
+             ROW_NUMBER() OVER (PARTITION BY wsym.dst ORDER BY SUM(wsym.w) DESC, l.label ASC) AS rn
+      FROM wsym JOIN l{i-1} l ON wsym.src = l.v
+      GROUP BY wsym.dst, l.label
+    ) x WHERE rn = 1
+  ) wn ON t.v = wn.v
+)"""
+        )
+    return (
+        "WITH " + pre + ",\n" + ",\n".join(its)
+        + f"\nSELECT v, label FROM l{LP_ITERS}"
+    )
+
+
 def _simhash_sql(bits: int = 60, max_hamming: int = 3) -> str:
     """Full DuckDB replay of the md5-mode simhash pipeline: per-word 60-bit
     md5 hash → per-bit sign sums → packed simhash → pigeonhole block join →
@@ -447,6 +485,17 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation_fixed(_edges(spark, sf_dir), LP_ITERS)
 
 
+def q_label_propagation_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LP with votes weighted by shared-order counts."""
+    from triangle_counting_spark.operators.labelprop import label_propagation_fixed
+    from triangle_counting_spark.sources.edges import cooccurrence_weighted_edges
+
+    we = cooccurrence_weighted_edges(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
+    )
+    return label_propagation_fixed(we, LP_ITERS, weight_col="weight")
+
+
 def q_label_propagation_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from triangle_counting_spark.operators.labelprop import label_propagation_blocked
 
@@ -666,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "label_propagation_blocked": q_label_propagation_blocked,
+        "label_propagation_weighted": q_label_propagation_weighted,
         "bfs_levels": q_bfs_levels,
         "heavy_light_edges": q_heavy_light_edges,
         "dedup_exact": q_dedup_exact,
@@ -759,6 +809,7 @@ SELECT v, MIN(l)::BIGINT AS component FROM reach GROUP BY v"""
         ),
         "label_propagation": _labelprop_sql(),
         "label_propagation_blocked": _labelprop_sql(),
+        "label_propagation_weighted": _labelprop_weighted_sql(),
         "bfs_levels": (
             "WITH RECURSIVE "
             + EDGES_CTE

@@ -31,29 +31,52 @@ def label_propagation(
     checkpoint_every: int = 5,
     run_id: str | None = None,
     resume: bool = True,
+    weight_col: str | None = None,
 ) -> LoopResult:
-    """LoopResult whose state is ``(v: long, label: long)``."""
+    """LoopResult whose state is ``(v: long, label: long)``.
+
+    ``weight_col``: optional edge weight — neighbor votes are weighted
+    sums instead of counts (ties still break by min label, so runs stay
+    deterministic; integer-valued weights keep the tie set exact across
+    engines)."""
     from pyspark.storagelevel import StorageLevel
 
-    ce = canonical_edges(edges)
+    _nshuf = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    if weight_col is None:
+        ce = canonical_edges(edges)
+        sym_w = symmetrize(ce).select(SRC, DST, F.lit(1.0).alias("_w"))
+    else:
+        s, d = F.col(SRC).cast("long"), F.col(DST).cast("long")
+        ce = (
+            edges.select(
+                s.alias(SRC), d.alias(DST),
+                F.col(weight_col).cast("double").alias("_w"),
+            )
+            .where(F.col(SRC) != F.col(DST))
+            .where(F.col(SRC).isNotNull() & F.col(DST).isNotNull())
+        )
+        sym_w = ce.select(SRC, DST, "_w").union(
+            ce.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), F.col("_w"))
+        )
     # joined every iteration — persist once, pre-partitioned on SRC so the
     # per-iteration vote join only shuffles the label table (pagerank.py note)
-    _nshuf = int(ce.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    sym = (
-        symmetrize(ce).repartition(_nshuf, SRC).persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    sym = sym_w.repartition(_nshuf, SRC).persist(StorageLevel.MEMORY_AND_DISK)
     state0 = (
         ce.select(F.col(SRC).alias("v"))
         .union(ce.select(F.col(DST).alias("v")))
         .distinct()
         .select("v", F.col("v").alias("label"), F.col("v").alias("label_prev"))
     )
+    vote_agg = (
+        F.count(F.lit(1)).alias("cnt") if weight_col is None
+        else F.sum("_w").alias("cnt")
+    )
 
     def step(state: DataFrame, _i: int) -> DataFrame:
         votes = (
             sym.join(state.select(F.col("v").alias(SRC), "label"), SRC)
             .groupBy(F.col(DST).alias("v"), "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(vote_agg)
         )
         # argmax by (cnt desc, label asc): max_by on struct(cnt, -label)
         winner = votes.groupBy("v").agg(
@@ -83,7 +106,7 @@ def label_propagation(
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every,
         run_id=run_id,
-        fingerprint="lp|sync-minlabel",
+        fingerprint=f"lp|sync-minlabel|weighted={weight_col is not None}",
         resume=resume,
     )
     sym.unpersist()
@@ -197,8 +220,10 @@ def label_propagation_blocked(
     )
 
 
-def label_propagation_fixed(edges: DataFrame, iterations: int) -> DataFrame:
+def label_propagation_fixed(
+    edges: DataFrame, iterations: int, weight_col: str | None = None
+) -> DataFrame:
     """Exactly ``iterations`` synchronous rounds (oracle-comparable)."""
-    res = label_propagation(edges, max_iter=iterations)
+    res = label_propagation(edges, max_iter=iterations, weight_col=weight_col)
     # loop stops early only on convergence, which is also deterministic
     return res.state
