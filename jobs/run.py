@@ -1,7 +1,9 @@
 """spark-submit entry point.
 
     spark-submit --py-files tcs.zip jobs/run.py --input <edges parquet | lineitem parquet> \
-        --job triangles|pagerank|components|labelprop|all [--checkpoint-dir DIR] [--run-id ID]
+        --job triangles|pagerank|components|labelprop|kcore|ktruss|all \
+        [--checkpoint-dir DIR] [--run-id ID] [--k K] \
+        [--weight-col COL] [--personalized-for v1,v2,...]
 
 Builds the package zip with:  python -m zipfile -c tcs.zip triangle_counting_spark
 
@@ -15,7 +17,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# `python jobs/run.py` puts jobs/ first on sys.path; make the repo root
+# importable too (spark-submit users ship the zip via --py-files instead)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -26,6 +34,10 @@ def main() -> None:
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--k", type=int, default=8, help="k for kcore/ktruss jobs")
+    ap.add_argument("--weight-col", default=None, help="edge-weight column for pagerank/labelprop")
+    ap.add_argument("--personalized-for", default=None,
+                    help="comma-separated seed vertex ids for personalized PageRank")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -54,10 +66,27 @@ def main() -> None:
         out["triangles"] = {"count": int(tri), "sec": sec, "edges_per_sec": m / sec}
     if args.job in ("pagerank", "all"):
         t0 = time.time()
-        r = pagerank(edges, tol=args.tol, checkpoint_dir=args.checkpoint_dir, run_id=args.run_id)
+        seeds = (
+            [int(x) for x in args.personalized_for.split(",")]
+            if args.personalized_for
+            else None
+        )
+        r = pagerank(edges, tol=args.tol, checkpoint_dir=args.checkpoint_dir,
+                     run_id=args.run_id, weight_col=args.weight_col,
+                     personalized_for=seeds)
         r.state.count()
         out["pagerank"] = {"iterations": r.iterations, "converged": r.converged,
                           "sec": time.time() - t0}
+    if args.job in ("kcore", "ktruss"):
+        from triangle_counting_spark.operators.subgraphs import (
+            kcore_edges,
+            ktruss_edges,
+        )
+
+        fn = kcore_edges if args.job == "kcore" else ktruss_edges
+        t0 = time.time()
+        m_sub = fn(edges, args.k).count()
+        out[args.job] = {"k": args.k, "edges": m_sub, "sec": time.time() - t0}
     if args.job in ("components", "all"):
         t0 = time.time()
         r = connected_components(edges, checkpoint_dir=args.checkpoint_dir, run_id=args.run_id)

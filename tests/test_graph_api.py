@@ -60,3 +60,20 @@ def test_graph_tier_dispatch(spark):
     assert cc_b == cc_s
     lp = {r.v: r.label for r in g.label_propagation(2).collect()}
     assert len(lp) == 6
+
+
+def test_graph_subgraph_and_delta_methods(spark):
+    from triangle_counting_spark.graph import Graph
+
+    # triangle + pendant path; K4 for truss
+    g = Graph(make_edges(spark, [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]))
+    core = g.kcore(2)
+    assert core.triangle_count("sql") == 1 and core.edges.count() == 3
+    added = g.triangle_count_delta(
+        spark.createDataFrame([(0, 4)], "src long, dst long")
+    )
+    assert added == 0  # 0 and 4 share no neighbor
+    added2 = g.triangle_count_delta(
+        spark.createDataFrame([(1, 3)], "src long, dst long")
+    )
+    assert added2 == 1  # {1,3} closes {1,2,3}
