@@ -62,3 +62,25 @@ def test_blocked_resume_bit_identical(spark, tmp_path):
     a = {r.v: r["rank"] for r in r1.state.collect()}
     b = {r.v: r["rank"] for r in r2.state.collect()}
     assert a == b
+
+
+def test_blocked_weighted_pagerank_matches_shuffle(spark):
+    from triangle_counting_spark.operators.pagerank import (
+        pagerank_blocked,
+        pagerank_fixed,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2, 3.0), (2, 3, 1.0), (1, 3, 1.0), (3, 4, 2.0)],
+        "src long, dst long, weight double",
+    )
+    sh = {r.v: r.rank for r in pagerank_fixed(e, 10, weight_col="weight").collect()}
+    bl = {
+        r.v: r.rank
+        for r in pagerank_blocked(
+            e, tol=-1.0, max_iter=10, weight_col="weight"
+        ).state.collect()
+    }
+    assert set(sh) == set(bl)
+    for v in sh:
+        assert abs(sh[v] - bl[v]) < 1e-12, (v, sh[v], bl[v])

@@ -128,10 +128,9 @@ class Graph:
     def pagerank(self, tier: str = "auto", **kw):
         """tier: "auto" picks the CSR-blocked broadcast substrate while the
         graph fits memory, else the shuffle substrate (identical semantics,
-        cross-checked in tests). Weighted / personalized / directed runs
-        always use the shuffle substrate (the blocked kernel implements
-        the plain undirected variant)."""
-        if any(kw.get(k) for k in ("weight_col", "personalized_for", "directed")):
+        cross-checked in tests). Personalized / directed runs always use
+        the shuffle substrate; weighted runs work on both tiers."""
+        if any(kw.get(k) for k in ("personalized_for", "directed")):
             from .operators.pagerank import pagerank
 
             return pagerank(self.edges, **kw)

@@ -227,6 +227,7 @@ def pagerank_blocked(
     checkpoint_every: int = 10,
     resume: bool = True,
     assume_canonical: bool = False,
+    weight_col: str | None = None,
 ):
     """CSR-blocked PageRank — the broadcast-tier implementation
     (north rule: "iterative sparse gather-scatter over CSR-blocked edge
@@ -247,13 +248,28 @@ def pagerank_blocked(
     import pandas as pd
 
     spark = edges.sparkSession
-    ce = edges.select(SRC, DST) if assume_canonical else canonical_edges(edges)
+    if weight_col is not None:
+        s, d = F.col(SRC).cast("long"), F.col(DST).cast("long")
+        ce = (
+            edges.select(
+                s.alias(SRC), d.alias(DST),
+                F.col(weight_col).cast("double").alias("weight"),
+            )
+            .where(F.col(SRC) != F.col(DST))
+            .where(F.col(SRC).isNotNull() & F.col(DST).isNotNull())
+        )
+    else:
+        ce = edges.select(SRC, DST) if assume_canonical else canonical_edges(edges)
     pdf = ce.toPandas()
     if n_blocks is None:
         n_blocks = max(spark.sparkContext.defaultParallelism, 1)
-    # edge weight 1/outdeg(src) lives on the edges, so the broadcast state
-    # is the rank vector itself (checkpoint/resume stays trivially correct)
-    g = build_blocked(pdf, n_blocks, edge_weight="inv_outdeg")
+    # the gather weight (1/outdeg or w/Σw) lives on the edges, so the
+    # broadcast state is the rank vector itself (checkpoint/resume stays
+    # trivially correct)
+    g = build_blocked(
+        pdf, n_blocks,
+        edge_weight="weighted" if weight_col is not None else "inv_outdeg",
+    )
     n = len(g.verts)
     if n == 0:
         empty = spark.createDataFrame([], "v long, rank double")
@@ -276,7 +292,7 @@ def pagerank_blocked(
         max_iter=max_iter,
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every,
-        fingerprint=f"pagerank_blocked|d={damping}|tol={tol}|n={n}",
+        fingerprint=(f"pagerank_blocked|d={damping}|tol={tol}|n={n}"f"|weighted={weight_col is not None}"),
         resume=resume,
     )
     out = spark.createDataFrame(pd.DataFrame({"v": g.verts, "rank": rank}))

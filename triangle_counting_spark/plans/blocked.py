@@ -52,8 +52,11 @@ def build_blocked(
 ) -> BlockedGraph:
     """Compact + symmetrize + sort edges by (block(dst), dst).
 
-    edges_pdf: canonical (src < dst) undirected edge list.
-    edge_weight: None, or "inv_outdeg" (w = 1/outdeg(src) — PageRank).
+    edges_pdf: canonical (src < dst) undirected edge list; for
+    edge_weight="weighted" it must also carry a ``weight`` column.
+    edge_weight: None, "inv_outdeg" (w = 1/outdeg(src) — plain PageRank),
+    or "weighted" (w = weight/Σ_out weight — weighted PageRank; out_deg
+    then holds the per-vertex out-STRENGTH, still 0 ⇔ dangling).
     """
     from ..operators.triangles import _compact_ids
 
@@ -67,7 +70,13 @@ def build_blocked(
     src = np.concatenate([s, d])
     dst = np.concatenate([d, s])
     n = len(verts)
-    out_deg = np.bincount(src, minlength=n).astype(np.float64)
+    if edge_weight == "weighted":
+        w_half = edges_pdf["weight"].to_numpy(dtype=np.float64)
+        sym_w = np.concatenate([w_half, w_half])
+        out_deg = np.bincount(src, weights=sym_w, minlength=n)
+    else:
+        sym_w = None
+        out_deg = np.bincount(src, minlength=n).astype(np.float64)
     # block(dst) is monotone in dst → a single stable argsort on dst gives
     # block-grouped dst-sorted order (no lexsort needed)
     order = np.argsort(dst, kind="stable")
@@ -79,6 +88,8 @@ def build_blocked(
     weight = None
     if edge_weight == "inv_outdeg":
         weight = 1.0 / out_deg[src]
+    elif edge_weight == "weighted":
+        weight = sym_w[order] / out_deg[src]
     return BlockedGraph(verts, src, dst, out_deg, n_blocks, bounds, weight)
 
 
