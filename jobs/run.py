@@ -94,7 +94,8 @@ def main() -> None:
         out["components"] = {"n": ncomp, "iterations": r.iterations, "sec": time.time() - t0}
     if args.job in ("labelprop", "all"):
         t0 = time.time()
-        r = label_propagation(edges, checkpoint_dir=args.checkpoint_dir, run_id=args.run_id)
+        r = label_propagation(edges, checkpoint_dir=args.checkpoint_dir,
+                              run_id=args.run_id, weight_col=args.weight_col)
         out["labelprop"] = {"iterations": r.iterations, "sec": time.time() - t0}
     print(json.dumps(out))
     spark.stop()

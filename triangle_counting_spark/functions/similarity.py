@@ -88,10 +88,14 @@ def embedding_neardup_pairs(
     over executors — each block is ONE BLAS matmul ``M[block] @ M.T``.
     Exact all-pairs is inherently O(n²) FLOPs, but this plan moves O(n)
     data (no cartesian/theta join shuffling n² rows, which is what the r1
-    version did) and the FLOPs run vectorized at memory bandwidth. Fits
-    the broadcast tier (matrix ≤ executor memory, ~10^7 × dim); beyond
-    that, use LSH bucketing (:func:`lsh_topk`) with a high threshold —
-    exact sub-0.5-threshold all-pairs at 10^9 vectors is not a real query.
+    version did) and the FLOPs run vectorized at memory bandwidth; each
+    slice processes its rows in bounded chunks so the dense score block
+    stays ~256 MB per task regardless of n. The ceiling is thus the
+    broadcast MATRIX itself (n·dim·8 B ≤ executor memory — ~10^7 vectors
+    at dim 128 is ~10 GB, the practical page-cache limit) plus O(n²)
+    total FLOPs; beyond that, use LSH bucketing (:func:`lsh_topk`) with a
+    high threshold — exact sub-0.5-threshold all-pairs at 10^9 vectors is
+    not a real query.
 
     method="allpairs": the r1 theta-join formulation, kept as the
     small-scale cross-check oracle.
@@ -142,29 +146,38 @@ def embedding_neardup_pairs(
         for kk in range(dim):
             nrm_sq += mat[:, kk] * mat[:, kk]
         nrm = np.sqrt(nrm_sq)
+        # cap the dense block: a whole slice's (n/n_slices) x n float64
+        # C would be hundreds of GB at 10^7 vectors — chunk rows so each
+        # matmul block stays ~256 MB regardless of n (row count adapts)
+        chunk_rows = max(1, (256 << 20) // (8 * max(len(idv), 1)))
         for b in batches:
             for sl in b["id"].to_numpy():
-                rows = np.arange(int(sl), len(idv), n_slices)
-                if len(rows) == 0:
+                all_rows = np.arange(int(sl), len(idv), n_slices)
+                if len(all_rows) == 0:
                     continue
-                # dot products accumulated left-to-right over k (vectorized
-                # outer updates), then one division by the norm product —
-                # structurally identical to dot(a,b)/(|a|·|b|) in the oracle;
-                # round to 9 BEFORE the threshold (mirrors ROUND(cs,9) >= t)
-                C = np.zeros((len(rows), len(idv)))
-                for kk in range(dim):
-                    C += np.multiply.outer(mat[rows, kk], mat[:, kk])
-                C = np.round(C / np.multiply.outer(nrm[rows], nrm), 9)
-                ii, jj = np.nonzero((C >= thr) & (idv[rows][:, None] < idv[None, :]))
-                if len(ii) == 0:
-                    continue
-                yield pd.DataFrame(
-                    {
-                        "id_a": idv[rows[ii]],
-                        "id_b": idv[jj],
-                        "cos_sim": C[ii, jj],
-                    }
-                )
+                for c0 in range(0, len(all_rows), chunk_rows):
+                    rows = all_rows[c0 : c0 + chunk_rows]
+                    # dot products accumulated left-to-right over k
+                    # (vectorized outer updates), then one division by the
+                    # norm product — structurally identical to
+                    # dot(a,b)/(|a|·|b|) in the oracle; round to 9 BEFORE
+                    # the threshold (mirrors ROUND(cs,9) >= t)
+                    C = np.zeros((len(rows), len(idv)))
+                    for kk in range(dim):
+                        C += np.multiply.outer(mat[rows, kk], mat[:, kk])
+                    C = np.round(C / np.multiply.outer(nrm[rows], nrm), 9)
+                    ii, jj = np.nonzero(
+                        (C >= thr) & (idv[rows][:, None] < idv[None, :])
+                    )
+                    if len(ii) == 0:
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            "id_a": idv[rows[ii]],
+                            "id_b": idv[jj],
+                            "cos_sim": C[ii, jj],
+                        }
+                    )
 
     slices = spark.range(0, n_slices, 1, numPartitions=n_slices)
     out = slices.mapInPandas(kernel, schema="id_a long, id_b long, cos_sim double")

@@ -128,9 +128,28 @@ class Graph:
     def pagerank(self, tier: str = "auto", **kw):
         """tier: "auto" picks the CSR-blocked broadcast substrate while the
         graph fits memory, else the shuffle substrate (identical semantics,
-        cross-checked in tests). Personalized / directed runs always use
-        the shuffle substrate; weighted runs work on both tiers."""
-        if any(kw.get(k) for k in ("personalized_for", "directed")):
+        cross-checked in tests).
+
+        The facade is UNDIRECTED and UNWEIGHTED by construction:
+        ``__init__`` canonicalized the edge table (re-oriented src < dst,
+        dropped non-(src,dst) columns), so ``directed=True`` would silently
+        compute PageRank on a re-oriented table and ``weight_col`` would hit
+        a missing column. Both are rejected here — call
+        ``operators.pagerank.pagerank(raw_edges, ...)`` on the ORIGINAL
+        table for directed/weighted runs."""
+        for bad in ("directed", "weight_col"):
+            if kw.get(bad):
+                raise ValueError(
+                    f"Graph.pagerank does not support {bad!r}: the Graph "
+                    "facade canonicalizes edges (src < dst, extra columns "
+                    "dropped), which destroys direction and weights. Call "
+                    "triangle_counting_spark.operators.pagerank.pagerank() "
+                    "on the original edge table instead."
+                )
+        if kw.get("personalized_for") is not None:
+            # personalization is orthogonal to canonicalization (a vertex
+            # set, not an edge property) — but only the shuffle tier
+            # implements it
             from .operators.pagerank import pagerank
 
             return pagerank(self.edges, **kw)

@@ -731,17 +731,23 @@ def triangle_count_estimate(
     p-threshold written in hex (lowercase hex compares lexicographically ==
     numerically): md5 is bit-identical across engines, so the exact same
     edge sample is reproducible in ANSI SQL — the oracle can replay the
-    sample and the 1/p³ scale-up."""
+    sample and the 1/p³ scale-up. The 6-hex-digit prefix quantizes the
+    effective p to multiples of 16^-6 ≈ 6e-8; p >= 1.0 skips the filter
+    entirely (a strict < against the max prefix would wrongly drop edges
+    hashing to 'ffffff')."""
     ce = canonical_edges(edges)
     if not 0.0 < p <= 1.0:
         raise ValueError(f"sampling probability p={p} must be in (0, 1]")
-    thresh = format(min(int(round(p * 16**6)), 16**6 - 1), "06x")
-    sampled = ce.where(
-        F.substring(
-            F.md5(F.concat_ws(",", F.col(SRC), F.col(DST), F.lit(seed))), 1, 6
+    if p >= 1.0:
+        sampled = ce
+    else:
+        thresh = format(min(int(round(p * 16**6)), 16**6 - 1), "06x")
+        sampled = ce.where(
+            F.substring(
+                F.md5(F.concat_ws(",", F.col(SRC), F.col(DST), F.lit(seed))), 1, 6
+            )
+            < F.lit(thresh)
         )
-        < F.lit(thresh)
-    )
     t = triangle_count(sampled, "sql", assume_canonical=True).collect()[0]["triangles"]
     est = int(round(t / p**3))
     return edges.sparkSession.createDataFrame(

@@ -68,16 +68,22 @@ def streaming_exact_dedup(
 ) -> DataFrame:
     """Streaming exact dedup: keep the first arrival of each text hash.
 
-    ``dropDuplicates`` on the md5 of the text with a watermark bounds the
-    dedup state to the watermark horizon (the standard trade-off for
-    continuous ingest: exact dedup within the horizon, batch dedup across
-    horizons on the sink table — same md5 key as the batch operator
+    Uses ``dropDuplicatesWithinWatermark`` on the md5 of the text: two rows
+    with the same hash whose event times fall within the watermark horizon
+    dedup to the first arrival, and — unlike plain ``dropDuplicates``,
+    whose state never evicts when the event-time column isn't part of the
+    key — per-key state IS dropped once the watermark passes it, so state
+    stays bounded under continuous ingest. The trade-off: duplicates more
+    than ``watermark`` apart both survive; collapse those with the batch
+    operator on the sink table (same md5 key as
     `functions/dedup.py:exact_dedup_groups`, so the two compose).
     """
     d = docs.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withColumn(
         "text_hash", F.md5(F.col(text_col))
     )
-    return d.withWatermark(ts_col, watermark).dropDuplicates(["text_hash"])
+    return d.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["text_hash"]
+    )
 
 
 def run_dedup_stream_demo(
