@@ -92,19 +92,34 @@ def neardup_clusters(
     cluster is a connected component, and the kept representative is the
     component's minimum doc id (the standard dedup-pipeline shape: pairs →
     union-find → keep-one). Composes the engine's own operators — the
-    near-dup pair join feeds the connected-components substrate — so it
-    inherits both of their scale paths. Singleton docs keep themselves.
+    near-dup pair join feeds the connected-components substrate THROUGH the
+    memory-tier dispatcher — so it inherits both of their scale paths: the
+    pairs graph is almost always small after thresholding (duplicates are
+    the exception, not the rule), so it typically lands on the blocked
+    broadcast tier (2-3 rounds) rather than the iterative shuffle loop.
+    Singleton docs keep themselves.
     """
-    from ..operators.components import connected_components
+    from ..operators.components import (
+        connected_components,
+        connected_components_blocked,
+    )
+    from ..plans.planner import choose_iterative_tier
 
     pairs = ngram_jaccard_pairs(
         df, text_col, id_col, n=n, threshold=threshold,
         max_shingle_docfreq=max_shingle_docfreq,
-    )
+    ).persist()
     docs = df.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
-    comp = connected_components(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    ).state
+    pair_edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # pair edges are canonical by construction (id_a < id_b, distinct)
+    tier = choose_iterative_tier(pair_edges, assume_canonical=True)
+    cc = (
+        connected_components_blocked(pair_edges, assume_canonical=True)
+        if tier == "blocked"
+        else connected_components(pair_edges)
+    )
+    comp = cc.state
+    pairs.unpersist()
     labeled = docs.join(
         comp.select(F.col("v").alias("doc_id"), "component"), "doc_id", "left"
     ).select(

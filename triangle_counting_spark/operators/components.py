@@ -31,9 +31,15 @@ def connected_components(
     checkpoint_every: int = 5,
     run_id: str | None = None,
     resume: bool = True,
+    use_delta: bool = True,
 ) -> LoopResult:
     """LoopResult whose state is ``(v: long, component: long)``;
-    component = min vertex id reachable. Exact (north rule)."""
+    component = min vertex id reachable. Exact (north rule).
+
+    ``use_delta``: join only the changed-label frontier each round (default;
+    measured vs the full-state join at sf0.1 — see BASELINE.md r3). The
+    full-state variant is kept for measurement, not as a user knob.
+    """
     from pyspark.storagelevel import StorageLevel
 
     ce = canonical_edges(edges)
@@ -54,11 +60,10 @@ def connected_components(
     def step(state: DataFrame, _i: int) -> DataFrame:
         # delta iteration: a vertex's label can only improve via a neighbor
         # whose label improved last round — join ONLY the changed frontier
+        frontier = state.where(F.col("changed")) if use_delta else state
         nbr_min = (
             sym.join(
-                state.where(F.col("changed")).select(
-                    F.col("v").alias(SRC), "component"
-                ),
+                frontier.select(F.col("v").alias(SRC), "component"),
                 SRC,
             )
             .groupBy(F.col(DST).alias("v"))
@@ -107,7 +112,7 @@ def connected_components(
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every,
         run_id=run_id,
-        fingerprint="cc|hash-min-delta",
+        fingerprint=f"cc|hash-min|delta={use_delta}",
         resume=resume,
     )
     sym.unpersist()

@@ -46,7 +46,7 @@ def pagerank(
     resume: bool = True,
     directed: bool = False,
     weight_col: str | None = None,
-    personalized_for: list[int] | None = None,
+    personalized_for: list[int] | DataFrame | None = None,
 ) -> LoopResult:
     """Returns LoopResult whose state is ``(v: long, rank: double)``,
     Σ rank = 1. Convergence: max |Δrank| <= tol (north-rule allclose 1e-6).
@@ -63,7 +63,10 @@ def pagerank(
     ``personalized_for``: optional source-vertex set S — the teleport (and
     dangling) mass lands uniformly on S instead of all vertices
     (personalized PageRank: rank = proximity to S). Initial rank is also
-    concentrated on S.
+    concentrated on S. Accepts a small list/set (becomes a literal IN) or
+    a DataFrame whose first column is the seed ids — the DataFrame form is
+    the at-scale path: a 10^5+ seed set as an IN-list bloats the plan
+    linearly, while the seed join is one broadcastable equi-join.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -119,16 +122,28 @@ def pagerank(
     base = verts.join(outdeg, "v", "left").select(
         "v", F.coalesce("outdeg", F.lit(0.0)).alias("outdeg")
     )
-    if personalized_for is not None:
+    if personalized_for is None:
+        base = base.select("v", "outdeg", F.lit(1.0 / n).alias("tele"))
+    elif isinstance(personalized_for, DataFrame):
+        seeds = personalized_for.select(
+            F.col(personalized_for.columns[0]).cast("long").alias("v")
+        ).distinct()
+        n_seeds = seeds.count()
+        if n_seeds == 0:
+            raise ValueError("personalized_for must be a non-empty vertex set")
+        base = base.join(
+            F.broadcast(seeds.select("v", F.lit(1.0 / n_seeds).alias("tele"))),
+            "v",
+            "left",
+        ).select("v", "outdeg", F.coalesce("tele", F.lit(0.0)).alias("tele"))
+    else:
         srcs = {int(x) for x in personalized_for}
         if not srcs:
             raise ValueError("personalized_for must be a non-empty vertex set")
         tele = F.when(F.col("v").isin(srcs), F.lit(1.0 / len(srcs))).otherwise(
             F.lit(0.0)
         )
-    else:
-        tele = F.lit(1.0 / n)
-    base = base.select("v", "outdeg", tele.alias("tele"))
+        base = base.select("v", "outdeg", tele.alias("tele"))
     state0 = base.select("v", "outdeg", "tele", F.col("tele").alias("rank"))
     # undirected edge-derived graphs have no dangling vertices; skip the
     # per-iteration dangling-mass job entirely unless some exist
@@ -189,7 +204,7 @@ def pagerank(
         fingerprint=(
             f"pagerank|d={damping}|tol={tol}|n={n}|directed={directed}"
             f"|weighted={weight_col is not None}"
-            f"|ppr={sorted(personalized_for) if personalized_for else None}"
+            f"|ppr={'df' if isinstance(personalized_for, DataFrame) else (sorted(personalized_for) if personalized_for else None)}"
         ),
         resume=resume,
     )

@@ -50,39 +50,70 @@ def kcore_edges(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
     return cur
 
 
-def _edge_support(cur: DataFrame) -> DataFrame:
+def _edge_support(cur: DataFrame, of_edges: DataFrame | None = None) -> DataFrame:
     """(src, dst, support) — common-neighbor count per edge within ``cur``,
-    via the row-based wedge join (x ∈ N(src), then require {dst, x})."""
+    via the row-based wedge join (x ∈ N(src), then require {dst, x}).
+
+    ``of_edges`` restricts the OUTPUT to a subset of edges (support is still
+    computed against the full ``cur`` graph) — the incremental-peel path:
+    wedge enumeration then costs |of_edges|·deg, not |cur|·deg."""
     sym = symmetrize(cur)
-    w = cur.join(sym.select(SRC, F.col(DST).alias("x")), SRC)
+    probe = cur if of_edges is None else of_edges
+    w = probe.select(SRC, DST).join(sym.select(SRC, F.col(DST).alias("x")), SRC)
     closed = w.join(
         sym.select(F.col(SRC).alias(DST), F.col(DST).alias("x")), [DST, "x"]
     )
     sup = closed.groupBy(SRC, DST).agg(F.count(F.lit(1)).alias("support"))
-    return cur.join(sup, [SRC, DST], "left").select(
+    return probe.select(SRC, DST).join(sup, [SRC, DST], "left").select(
         SRC, DST, F.coalesce("support", F.lit(0)).alias("support")
     )
 
 
 def ktruss_edges(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
     """Canonical (src, dst) edges of the k-truss (every edge in ≥ k-2
-    triangles within the subgraph)."""
+    triangles within the subgraph).
+
+    Incremental peel: the full wedge-join support is computed ONCE; each
+    subsequent round recomputes support only for survivor edges incident to
+    an endpoint of a just-removed edge. Correctness: an edge's support drops
+    only when a triangle through it is destroyed, every destroyed triangle
+    contains a removed edge, and the other two edges of that triangle each
+    share a vertex with it — so edges not touching a removed endpoint keep
+    their support exactly. Round cost falls from |E|·deg to |affected|·deg,
+    and the affected set shrinks geometrically on real graphs (the dense
+    core stabilizes fast)."""
     if k < 2:
         raise ValueError("k-truss requires k >= 2")
-    cur = canonical_edges(edges).localCheckpoint(eager=True)
-    m = cur.count()
+    thresh = k - 2
+    cur = _edge_support(canonical_edges(edges)).localCheckpoint(eager=True)
     for _ in range(max_rounds):
-        if m == 0:
+        removed = cur.where(F.col("support") < thresh)
+        if removed.limit(1).count() == 0:
             break
-        nxt = (
-            _edge_support(cur)
-            .where(F.col("support") >= k - 2)
-            .select(SRC, DST)
-            .localCheckpoint(eager=True)
+        survivors = cur.where(F.col("support") >= thresh).localCheckpoint(eager=True)
+        if survivors.limit(1).count() == 0:
+            cur = survivors
+            break
+        touched = (
+            removed.select(F.col(SRC).alias("v"))
+            .union(removed.select(F.col(DST).alias("v")))
+            .distinct()
         )
-        m2 = nxt.count()
-        cur = nxt
-        if m2 == m:
-            break
-        m = m2
-    return cur
+        is_affected = (
+            survivors.join(touched.select(F.col("v").alias(SRC)), SRC, "left_semi")
+            .select(SRC, DST)
+            .union(
+                survivors.join(
+                    touched.select(F.col("v").alias(DST)), DST, "left_semi"
+                ).select(SRC, DST)
+            )
+            .distinct()
+        )
+        unaffected = survivors.join(is_affected, [SRC, DST], "left_anti")
+        recomputed = _edge_support(
+            survivors.select(SRC, DST), of_edges=is_affected
+        )
+        cur = unaffected.select(SRC, DST, "support").union(
+            recomputed.select(SRC, DST, "support")
+        ).localCheckpoint(eager=True)
+    return cur.select(SRC, DST)

