@@ -396,6 +396,28 @@ def q_triangle_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count_delta(e.where(split < "d9"), e.where(split >= "d9"))
 
 
+def q_streaming_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest exact triangle maintenance: stream the edge set in
+    4 micro-batches through the foreachBatch Δ-maintainer and return the
+    final running total. Oracle: the batch triangle count — the maintainer's
+    invariant is total == tc(accumulated edges) after every batch."""
+    import shutil
+    import tempfile
+
+    from triangle_counting_spark.streaming.triangles import (
+        run_triangle_stream_demo,
+    )
+
+    state_dir = tempfile.mkdtemp(prefix="tcs_stream_gate_")
+    try:
+        out = run_triangle_stream_demo(
+            spark, _edges(spark, sf_dir), state_dir, n_batches=4
+        )
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+    return spark.createDataFrame([(out["total"],)], "triangles long")
+
+
 def q_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from triangle_counting_spark.operators.triangles import triangle_count_estimate
 
@@ -469,7 +491,10 @@ def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(2)
         .collect()
     ]
-    pr = pagerank_fixed(e, PR_ITERS, damping=PR_DAMPING, personalized_for=seeds)
+    # seed set passed as a DataFrame — the at-scale form (broadcast seed
+    # join instead of a literal IN); the list form is unit-tested
+    seeds_df = spark.createDataFrame([(s,) for s in seeds], "v long")
+    pr = pagerank_fixed(e, PR_ITERS, damping=PR_DAMPING, personalized_for=seeds_df)
     return pr.select("v", F.round("rank", 6).alias("rank"))
 
 
@@ -704,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "ktruss": q_ktruss,
         "triangle_delta": q_triangle_delta,
+        "streaming_triangles": q_streaming_triangles,
         "triangle_estimate": q_triangle_estimate,
         "triangles_per_vertex": q_triangles_per_vertex,
         "degrees": q_degrees,
@@ -760,6 +786,7 @@ JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
         "triangle_count_level": tri_sql,
         "triangle_count_part": tri_sql,
         "triangle_count_bcast": tri_sql,
+        "streaming_triangles": tri_sql,
         "triangles_per_vertex": (
             "WITH "
             + EDGES_CTE

@@ -111,7 +111,7 @@ def main() -> None:
     triangles = tri_box["t"]
     tri_sec = times["triangle_count"]
 
-    for strat in ("sql", "part", "merge", "join"):
+    for strat in ("sql", "part", "merge", "join", "level"):
         timed(
             f"triangle_count_{strat}",
             lambda s=strat: triangle_count(edges, s, assume_canonical=True).collect(),
