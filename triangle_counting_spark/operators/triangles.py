@@ -336,8 +336,41 @@ def _count_partitioned(oriented: DataFrame, n_blocks: int | None = None) -> Data
     repeats (Σ deg⁺² per block) stay bounded.
     """
     spark = oriented.sparkSession
+    # one stats pass over the (persisted) oriented table drives two plan
+    # decisions; measured machinery breakdown (scripts/part_machinery.py,
+    # RMAT-20): the cogroup's JVM->Python Arrow transfer of the replicated
+    # adjacency DOMINATES the plan (noop kernel = 55s of the 42s-62s total;
+    # the compute kernel itself is ~6s), so the levers are BYTES through
+    # the Arrow boundary, not kernel micro-optimization.
+    stats = oriented.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.min(F.least(SRC, DST)).alias("mn"),
+        F.max(F.greatest(SRC, DST)).alias("mx"),
+    ).collect()[0]
+    m_edges = int(stats["m"] or 0)
     if n_blocks is None:
-        n_blocks = max(spark.sparkContext.defaultParallelism * 2, 4)
+        # enough blocks to use every core, and enough that a block's edges
+        # (m/P) and its replicated adjacency stay task-sized at any m —
+        # ~4M edges/block keeps per-task Arrow payloads in the tens of MB.
+        # MORE blocks than that only grows replication (Σ min(indeg, P)):
+        # measured 531M -> 175M shipped elements going 64 -> 16 blocks at
+        # RMAT-20 (scripts/part_profile.py)
+        n_blocks = max(
+            spark.sparkContext.defaultParallelism, (m_edges + (1 << 22) - 1) >> 22, 4
+        )
+    # ids that fit int32 ship as int32: HALVES every byte the plan moves
+    # (edge shuffle, adjacency replication join, cogroup exchange, Arrow
+    # IPC). ANSI-safe: guarded by the observed min/max. 64-bit id spaces
+    # (hashed ids at web scale) keep long — correctness never depends on it
+    narrow = (
+        stats["mn"] is not None
+        and int(stats["mn"]) >= -(1 << 31)
+        and int(stats["mx"]) < (1 << 31)
+    )
+    if narrow:
+        oriented = oriented.select(
+            F.col(SRC).cast("int").alias(SRC), F.col(DST).cast("int").alias(DST)
+        )
     e = oriented.select(
         F.pmod(F.xxhash64(SRC), F.lit(n_blocks)).cast("int").alias("pid"), SRC, DST
     )
@@ -368,9 +401,11 @@ def _count_partitioned(oriented: DataFrame, n_blocks: int | None = None) -> Data
         # Arrow list buffers (no per-row numpy object handling)
         av = adj_t.column("v").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         nbrs = adj_t.column("nbrs")
-        acat = pc.list_flatten(nbrs).to_numpy(zero_copy_only=False).astype(
-            np.int64, copy=False
-        )
+        # keep the flattened adjacency in its NATIVE width (int32 when the
+        # plan narrowed ids) — it is by far the largest array in the task,
+        # and every downstream op (mask gather, unique, int64 composite
+        # keys) upcasts element-wise without materializing an int64 copy
+        acat = pc.list_flatten(nbrs).to_numpy(zero_copy_only=False)
         alen = pc.list_value_length(nbrs).to_numpy(zero_copy_only=False).astype(
             np.int64, copy=False
         )
