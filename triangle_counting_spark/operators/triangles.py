@@ -95,6 +95,31 @@ def _compact_ids(np, s_raw, d_raw, m_in):
     return inv[:m_in], inv[m_in:], uniq[order]
 
 
+def _id_stats(oriented: DataFrame) -> tuple[int, int | None, int | None]:
+    """One aggregation pass over the (persisted) oriented table:
+    ``(edge_count, min_id, max_id)`` — drives the block count and the
+    int32-narrowing decision below."""
+    r = oriented.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.min(F.least(SRC, DST)).alias("mn"),
+        F.max(F.greatest(SRC, DST)).alias("mx"),
+    ).collect()[0]
+    return int(r["m"] or 0), r["mn"], r["mx"]
+
+
+def _maybe_narrow(oriented: DataFrame, mn, mx) -> DataFrame:
+    """Cast (src, dst) to int32 when every observed id fits — HALVES every
+    byte the shuffle-tier plans move (adjacency arrays through exchanges
+    and the JVM->Python Arrow boundary, the measured dominant cost —
+    scripts/part_machinery.py). ANSI-safe: guarded by observed min/max;
+    64-bit id spaces (hashed ids at web scale) keep long untouched."""
+    if mn is not None and int(mn) >= -(1 << 31) and int(mx) < (1 << 31):
+        return oriented.select(
+            F.col(SRC).cast("int").alias(SRC), F.col(DST).cast("int").alias(DST)
+        )
+    return oriented
+
+
 def _edge_adjacency_pairs(
     oriented: DataFrame, adj: DataFrame | None = None
 ) -> DataFrame:
@@ -205,9 +230,9 @@ def _make_flatten():
         import pyarrow.compute as pc  # noqa: PLC0415
 
         col = rb.column(name)
-        vals = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(
-            np.int64, copy=False
-        )
+        # values stay in their NATIVE width (int32 when the plan narrowed
+        # ids) — composite keys upcast element-wise via the int64 segment
+        vals = pc.list_flatten(col).to_numpy(zero_copy_only=False)
         lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(
             np.int64, copy=False
         )
@@ -298,6 +323,8 @@ _KERNELS = {"merge": _make_merge_kernel, "probe": _make_probe_kernel}
 
 
 def _count_kernel(oriented: DataFrame, kernel: str) -> DataFrame:
+    _, mn, mx = _id_stats(oriented)
+    oriented = _maybe_narrow(oriented, mn, mx)
     adj = oriented_adjacency(oriented).persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
     try:
@@ -342,12 +369,7 @@ def _count_partitioned(oriented: DataFrame, n_blocks: int | None = None) -> Data
     # adjacency DOMINATES the plan (noop kernel = 55s of the 42s-62s total;
     # the compute kernel itself is ~6s), so the levers are BYTES through
     # the Arrow boundary, not kernel micro-optimization.
-    stats = oriented.agg(
-        F.count(F.lit(1)).alias("m"),
-        F.min(F.least(SRC, DST)).alias("mn"),
-        F.max(F.greatest(SRC, DST)).alias("mx"),
-    ).collect()[0]
-    m_edges = int(stats["m"] or 0)
+    m_edges, mn_id, mx_id = _id_stats(oriented)
     if n_blocks is None:
         # enough blocks to use every core, and enough that a block's edges
         # (m/P) and its replicated adjacency stay task-sized at any m —
@@ -358,19 +380,7 @@ def _count_partitioned(oriented: DataFrame, n_blocks: int | None = None) -> Data
         n_blocks = max(
             spark.sparkContext.defaultParallelism, (m_edges + (1 << 22) - 1) >> 22, 4
         )
-    # ids that fit int32 ship as int32: HALVES every byte the plan moves
-    # (edge shuffle, adjacency replication join, cogroup exchange, Arrow
-    # IPC). ANSI-safe: guarded by the observed min/max. 64-bit id spaces
-    # (hashed ids at web scale) keep long — correctness never depends on it
-    narrow = (
-        stats["mn"] is not None
-        and int(stats["mn"]) >= -(1 << 31)
-        and int(stats["mx"]) < (1 << 31)
-    )
-    if narrow:
-        oriented = oriented.select(
-            F.col(SRC).cast("int").alias(SRC), F.col(DST).cast("int").alias(DST)
-        )
+    oriented = _maybe_narrow(oriented, mn_id, mx_id)
     e = oriented.select(
         F.pmod(F.xxhash64(SRC), F.lit(n_blocks)).cast("int").alias("pid"), SRC, DST
     )
