@@ -58,10 +58,129 @@ def frontier_neighbors(
     )
 
 
+def bfs_levels_blocked(
+    edges: DataFrame,
+    roots: list[int] | None = None,
+    assume_canonical: bool = False,
+) -> DataFrame:
+    """Broadcast-tier BFS — the same ``(v, root, level)`` fixpoint as the
+    shuffle tier, computed over an in-memory CSR (the tier the blocked
+    PageRank/CC/label-propagation substrate already established; BFS was
+    the one iterative operator without it, and at fits-in-memory scale the
+    shuffle loop's per-iteration job floor dominates its runtime — measured
+    22.7 s of the 27 s "level" strategy at sf0.1).
+
+    ``roots=None``: vectorized — components first (reduceat min-gather +
+    pointer jumping, no per-component Python), then ONE multi-source
+    frontier sweep seeded with every component's min vertex. Explicit
+    ``roots``: sequential ascending per-root sweeps, because the shuffle
+    tier's lexicographic (root, level) min means the SMALLEST reaching
+    root claims a vertex even when another root is nearer — simultaneous
+    expansion would hand ties to the nearest root instead.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = edges.sparkSession
+    ce = edges.select(SRC, DST) if assume_canonical else canonical_edges(edges)
+    pdf = ce.toPandas()
+    schema = "v long, root long, level long"
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema)
+    s = pdf[SRC].to_numpy(np.int64)
+    d = pdf[DST].to_numpy(np.int64)
+    verts = np.unique(np.concatenate([s, d]))
+    n = len(verts)
+    sc = np.searchsorted(verts, s)
+    dc = np.searchsorted(verts, d)
+    heads = np.concatenate([sc, dc])
+    tails = np.concatenate([dc, sc])
+    deg = np.bincount(heads, minlength=n)
+    rowptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg, out=rowptr[1:])
+    ci = tails[np.argsort(heads, kind="stable")]
+    level = np.full(n, -1, dtype=np.int64)
+    root = np.full(n, -1, dtype=np.int64)
+
+    def expand(frontier: "np.ndarray") -> "np.ndarray":
+        starts = rowptr[frontier]
+        lens = rowptr[frontier + 1] - starts
+        tot = int(lens.sum())
+        if tot == 0:
+            return np.empty(0, dtype=np.int64)
+        offs = (
+            np.arange(tot, dtype=np.int64)
+            - np.repeat(np.cumsum(lens) - lens, lens)
+            + np.repeat(starts, lens)
+        )
+        nbrs = ci[offs]
+        return np.unique(nbrs[level[nbrs] < 0])
+
+    if roots is None:
+        # components: min-label gather per round + pointer jumping — the
+        # blocked-CC recipe, converges in O(log diameter) rounds
+        label = np.arange(n, dtype=np.int64)
+        safe = np.minimum(rowptr[:-1], len(ci) - 1)
+        while True:
+            gathered = np.minimum.reduceat(label[ci], safe)
+            new = np.minimum(label, np.where(deg > 0, gathered, label))
+            while True:
+                nxt = new[new]
+                if np.array_equal(nxt, new):
+                    break
+                new = nxt
+            if np.array_equal(new, label):
+                break
+            label = new
+        seeds = np.unique(label)  # each component's min vertex code
+        level[seeds] = 0
+        root[:] = label  # root of v = its component's min vertex
+        frontier = seeds
+        lvl = 0
+        while len(frontier):
+            lvl += 1
+            new = expand(frontier)
+            if not len(new):
+                break
+            level[new] = lvl
+            frontier = new
+    else:
+        rset = np.array(sorted({int(r) for r in roots}), dtype=np.int64)
+        pos = np.searchsorted(verts, rset)
+        valid = pos < n
+        pos, rs = pos[valid], rset[valid]
+        pos = pos[verts[pos] == rs]  # roots not present in the graph drop out
+        for seed in pos:  # ascending → first claim = lexicographic min root
+            if level[seed] >= 0:
+                continue
+            level[seed] = 0
+            root[seed] = seed
+            frontier = np.array([seed], dtype=np.int64)
+            lvl = 0
+            while len(frontier):
+                lvl += 1
+                new = expand(frontier)
+                if not len(new):
+                    break
+                level[new] = lvl
+                root[new] = seed
+                frontier = new
+    mask = level >= 0
+    out = pd.DataFrame(
+        {
+            "v": verts[mask],
+            "root": verts[root[mask]],
+            "level": level[mask],
+        }
+    )
+    return spark.createDataFrame(out, schema=schema)
+
+
 def bfs_levels(
     edges: DataFrame,
     roots: list[int] | None = None,
     max_iter: int = 10_000,
+    tier: str = "auto",
 ) -> DataFrame:
     """(v, root, level) — BFS level of every vertex.
 
@@ -69,14 +188,25 @@ def bfs_levels(
     (the reference's full sweep, tc.c:1174-1178). With explicit roots,
     unreachable vertices are absent from the result.
 
-    Delta iteration: only vertices improved in the previous round join the
-    edge table (the frontier); the previous round's frontier count decides
-    the broadcast hint (count < n/ALPHA and < cap), mirroring the
-    reference's direction-optimizing switch (bfs.c:314-377).
+    ``tier``: "auto" routes fits-in-memory graphs (the iterative-tier
+    memory statistic, planner.choose_iterative_tier) to the blocked CSR
+    sweep and everything else to the shuffle loop below; "shuffle" /
+    "blocked" force a tier. Both produce the identical fixpoint.
+
+    Shuffle tier: delta iteration — only vertices improved in the previous
+    round join the edge table (the frontier); the previous round's frontier
+    count decides the broadcast hint (count < n/ALPHA and < cap), mirroring
+    the reference's direction-optimizing switch (bfs.c:314-377).
     """
     from pyspark.storagelevel import StorageLevel
 
     ce = canonical_edges(edges)
+    if tier == "auto":
+        from ..plans.planner import choose_iterative_tier
+
+        tier = choose_iterative_tier(ce, assume_canonical=True)
+    if tier == "blocked":
+        return bfs_levels_blocked(ce, roots=roots, assume_canonical=True)
     # joined every level — persist once (see pagerank.py note)
     sym = symmetrize(ce).persist(StorageLevel.MEMORY_AND_DISK)
     verts = (
