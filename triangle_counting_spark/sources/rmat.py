@@ -55,13 +55,22 @@ def rmat_edges(
     Over-samples by 30% per round, canonicalizes, and tops up with further
     seeded rounds until ≥ m distinct edges exist, then takes the first m in
     (src, dst) order — a deterministic set regardless of partitioning.
+
+    The first-m selection is DISTRIBUTED: (src, dst) packs into one unique
+    int64 key, a bucket histogram on the key's high bits locates the
+    bucket holding the m-th smallest, only that one bucket's keys come to
+    the driver for the exact cutoff, and the final pick is a plain filter.
+    (The old ``orderBy().limit(m)`` funneled every edge through ONE task —
+    a single-task sort that OOM'd the default heap at RMAT-21.)
     """
+    if scale > 31:
+        raise ValueError("rmat_edges packs (src, dst) into int64: scale <= 31")
     n = 1 << scale
     m = edge_factor * n
+    key = (F.col("src") * F.lit(n) + F.col("dst")).alias("k")
     collected: DataFrame | None = None
     for round_no in range(20):
-        need = m if collected is None else m  # always oversample vs target
-        per_part = math.ceil(need * 1.3 / num_partitions)
+        per_part = math.ceil(m * 1.3 / num_partitions)
         sampler = _make_sampler(scale, per_part, seed, round_no)
         batch = (
             spark.range(num_partitions)
@@ -71,7 +80,35 @@ def rmat_edges(
         collected = batch if collected is None else collected.union(batch)
         ce = canonical_edges(collected)
         cnt = ce.count()
-        if cnt >= m:
-            return ce.orderBy("src", "dst").limit(m)
+        if cnt == m:
+            return ce
+        if cnt > m:
+            shift = max(2 * scale - 20, 0)  # ~2^20 buckets
+            hist = sorted(
+                (r["b"], r["c"])
+                for r in ce.groupBy(
+                    F.shiftright(key, shift).alias("b")
+                ).agg(F.count(F.lit(1)).alias("c")).collect()
+            )
+            before = 0
+            for b, c in hist:
+                if before + c >= m:
+                    break
+                before += c
+            import numpy as np
+
+            bucket = np.sort(
+                np.array(
+                    [
+                        r["k"]
+                        for r in ce.select(key)
+                        .where(F.shiftright(key, shift) == b)
+                        .collect()
+                    ],
+                    dtype=np.int64,
+                )
+            )
+            cutoff = int(bucket[m - before - 1])  # keys unique: no tie split
+            return ce.where(key <= cutoff)
         collected = ce  # keep the dedup work
     raise RuntimeError(f"RMAT could not reach {m} distinct edges (got {cnt})")
