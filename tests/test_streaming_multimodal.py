@@ -25,8 +25,23 @@ def test_multimodal_feature_plumbing(spark):
 
 def test_multimodal_decode_stub_raises(spark):
     media = synthetic_media(spark, n=4)
-    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+    with pytest.raises(Exception, match="NotImplementedError|decoding requires"):
         extract_features(media, fake=False).collect()
+
+
+def test_multimodal_audio_decode_is_real():
+    """The decode boundary routes kind='audio' to the real WAV decoder."""
+    import numpy as np
+
+    from triangle_counting_spark.functions.audio import encode_wav_pcm16
+    from triangle_counting_spark.functions.multimodal import _decode_stub
+
+    t = np.arange(4000) / 4000.0
+    payload = encode_wav_pcm16(0.3 * np.sin(2 * np.pi * 100 * t), 4000)
+    rate, nch, samples = _decode_stub(payload, "audio")
+    assert (rate, nch, len(samples)) == (4000, 1, 4000)
+    with pytest.raises(NotImplementedError):
+        _decode_stub(payload, "image")
 
 
 def test_frame_sample_plan(spark):

@@ -2,10 +2,12 @@
 
 Images/audio/video ride as opaque ``binary`` columns plus a metadata
 struct; decode/feature-extraction run as Arrow-batched kernels over
-``mapInPandas``. The decode step itself is STUBBED (no imaging/audio libs
-in this container — clearly marked below); everything Spark-side — schema,
-batching, partition sizing, UDF signatures, deterministic fake features —
-is real and tested, so swapping in a real decoder is a one-function change.
+``mapInPandas``. AUDIO decode is REAL (WAV/PCM via stdlib wave + numpy —
+functions/audio.py, with closed-form-verified features); image/video
+decode remains STUBBED (no imaging/codec libs in this container — clearly
+marked below). Everything Spark-side — schema, batching, partition
+sizing, UDF signatures, deterministic fake features — is real and tested,
+so swapping in a real image/video decoder is a one-function change.
 
 Scale notes: binary columns dominate row size, so
 ``spark.sql.files.maxPartitionBytes`` governs task memory; feature
@@ -48,12 +50,18 @@ def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
 
 
 def _decode_stub(payload: bytes, kind: str):
-    """THE decode boundary. A real deployment plugs PIL/ffmpeg/torchaudio in
-    here; this container has none of them, so raise — callers that need
-    features use the deterministic fake path below instead."""
+    """THE decode boundary. AUDIO is real (WAV/PCM via stdlib wave + numpy,
+    functions/audio.py — no external libs needed); image/video still need
+    codecs this container lacks, so they raise — callers that need features
+    for those kinds use the deterministic fake path below instead."""
+    if kind == "audio":
+        from .audio import decode_wav
+
+        return decode_wav(payload)
     raise NotImplementedError(
-        "media decoding requires imaging/audio libraries not present in "
-        "this environment; use extract_features(fake=True)"
+        f"{kind} decoding requires imaging/codec libraries not present in "
+        "this environment; use extract_features(fake=True). Audio (WAV) "
+        "decodes for real — see functions/audio.py."
     )
 
 
