@@ -662,6 +662,21 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (inverted-file coarse quantizer) probing EVERY inverted list
+    (n_probe == n_centroids): candidate generation is exhaustive by
+    construction, so the brute-force cosine SQL is an exact oracle — the
+    same discipline as q_lsh_topk's exact-recall config. Lossy-probe
+    recall is asserted separately in tests/test_ivf.py."""
+    from triangle_counting_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < TOPK_NQUERY), k=TOPK_K,
+        n_centroids=8, n_probe=8,
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprint equivalence classes: (doc_id, fp_keep_id, fp_group_size).
     Property oracle (the xxhash64 value itself is not SQL-replayable, its
@@ -759,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash_neardup": q_simhash_neardup,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "fingerprint": q_fingerprint,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
@@ -943,6 +959,8 @@ FROM documents""",
         # exact-recall LSH config on the fixtures (see q_lsh_topk) →
         # the brute-force ranking is the oracle
         "lsh_topk": _TOPK_SQL,
+        # exhaustive-probe IVF config (see q_ivf_topk) -> brute-force oracle
+        "ivf_topk": _TOPK_SQL,
         "events_window": """
 SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
        event_type,

@@ -279,3 +279,185 @@ def lsh_topk(
         .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id",
                 F.round("cs", 6).alias("cos_sim"))
     )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    lloyd_iters: int = 2,
+    seed: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Spherical k-means coarse quantizer for :func:`ivf_topk` — returns the
+    L2-normalized centroid matrix as a numpy array (n_centroids × dim).
+
+    Deterministic: init = the n_centroids vectors with the smallest
+    xxhash64(id, seed) (a seeded distributed sample, no Date/rand), then
+    ``lloyd_iters`` assignment/update rounds. Each round is ONE pass:
+    an Arrow-batched argmax-dot kernel emits per-BATCH partial sums
+    (n_centroids × dim rows per batch, not per vector), so the update
+    shuffle is O(batches · k · dim) — independent of corpus size. At
+    10^9+ vectors you'd train on a hash-sample instead; the assignment
+    pass below is the part that must (and does) scale linearly.
+    """
+    import numpy as np
+
+    unit = with_norm(corpus, vec_col).where(F.col("_norm") > 0)
+    init_rows = (
+        unit.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(n_centroids)
+        .select("_emb", "_norm")
+        .collect()
+    )
+    C = np.stack([np.asarray(r["_emb"], dtype=np.float64) / r["_norm"] for r in init_rows])
+    if len(C) < n_centroids:
+        n_centroids = len(C)
+
+    base = unit.select(F.col("_emb"), F.col("_norm"))
+    for _ in range(max(0, lloyd_iters)):
+        Cb = C  # capture THIS round's centroids by value in the closure
+
+        def partial_sums(batches):
+            import numpy as np  # noqa: PLC0415
+            import pandas as pd  # noqa: PLC0415
+
+            for b in batches:
+                if not len(b):
+                    continue
+                E = np.stack([np.asarray(x, dtype=np.float64) for x in b["_emb"]])
+                U = E / b["_norm"].to_numpy()[:, None]
+                cid = np.argmax(U @ Cb.T, axis=1)
+                k_, d_ = Cb.shape
+                sums = np.zeros((k_, d_))
+                np.add.at(sums, cid, U)
+                cnt = np.bincount(cid, minlength=k_).astype("int64")
+                yield pd.DataFrame(
+                    {
+                        "cid": np.repeat(np.arange(k_, dtype=np.int32), d_),
+                        "pos": np.tile(np.arange(d_, dtype=np.int32), k_),
+                        "s": sums.ravel(),
+                        "cnt": np.repeat(cnt, d_),
+                    }
+                )
+
+        agg = (
+            base.mapInPandas(partial_sums, schema="cid int, pos int, s double, cnt long")
+            .groupBy("cid", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        newC = C.copy()  # empty clusters keep their previous centroid
+        k_, d_ = C.shape
+        sums = np.zeros((k_, d_))
+        cnts = np.zeros(k_, dtype=np.int64)
+        for r in agg:
+            sums[r["cid"], r["pos"]] = r["s"]
+            cnts[r["cid"]] = r["cnt"]
+        nz = cnts > 0
+        norms = np.linalg.norm(sums[nz], axis=1)
+        ok = norms > 0
+        idx = np.flatnonzero(nz)[ok]
+        newC[idx] = sums[idx] / norms[ok][:, None]
+        C = newC
+    return C
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 2,
+    seed: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer — the
+    second ANN scale path next to :func:`lsh_topk` (SURVEY: "IVF or LSH").
+
+    Shape: train n_centroids spherical-k-means centroids (tiny, broadcast);
+    ONE linear assignment pass buckets the corpus by nearest centroid (the
+    inverted lists); each query probes only its n_probe nearest lists, so
+    candidate generation is a centroid-id EQUI-JOIN — cost scales with the
+    probed lists' occupancy, not |corpus| × |queries|. Exact cosine then
+    re-ranks candidates with the same round-before-rank determinism as
+    :func:`brute_force_topk`. n_probe == n_centroids probes every list →
+    EXACTLY the brute-force ranking (the oracle config); recall at lossy
+    n_probe is asserted against brute force in tests.
+    """
+    import numpy as np
+
+    C = ivf_centroids(corpus, n_centroids, lloyd_iters, seed, id_col, vec_col)
+
+    def make_assign_kernel(idname: str, top: int):
+        def kernel(batches):
+            import numpy as np  # noqa: PLC0415
+            import pandas as pd  # noqa: PLC0415
+
+            for b in batches:
+                if not len(b):
+                    continue
+                E = np.stack([np.asarray(x, dtype=np.float64) for x in b["_emb"]])
+                U = E / b["_norm"].to_numpy()[:, None]
+                D = U @ C.T  # (batch, n_centroids)
+                if top == 1:
+                    cid = np.argmax(D, axis=1).astype(np.int32)
+                    yield pd.DataFrame(
+                        {
+                            idname: b[idname],
+                            "cid": cid,
+                            f"{idname}_emb": list(b["_emb"]),
+                            f"{idname}_n": b["_norm"],
+                        }
+                    )
+                else:
+                    order = np.argsort(-D, axis=1)[:, :top].astype(np.int32)
+                    reps = order.shape[1]
+                    yield pd.DataFrame(
+                        {
+                            idname: np.repeat(b[idname].to_numpy(), reps),
+                            "cid": order.ravel(),
+                            f"{idname}_emb": [
+                                e for e in b["_emb"] for _ in range(reps)
+                            ],
+                            f"{idname}_n": np.repeat(b["_norm"].to_numpy(), reps),
+                        }
+                    )
+
+        return kernel
+
+    def prep(df: DataFrame, idname: str, top: int) -> DataFrame:
+        e = with_norm(df, vec_col).select(
+            F.col(id_col).alias(idname), F.col("_emb"), F.col("_norm")
+        )
+        schema = f"{idname} long, cid int, {idname}_emb array<double>, {idname}_n double"
+        return e.mapInPandas(make_assign_kernel(idname, top), schema=schema)
+
+    lists = prep(corpus, "neighbor_id", 1)  # the inverted file
+    probes = prep(queries, "query_id", min(n_probe, len(C)))
+    cand = (
+        F.broadcast(probes)
+        .join(lists, "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "query_id_emb", "query_id_n",
+                "neighbor_id", "neighbor_id_emb", "neighbor_id_n")
+        .distinct()
+    )
+    sims = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("query_id_emb"), F.col("neighbor_id_emb"))
+            / (F.col("query_id_n") * F.col("neighbor_id_n")),
+            9,
+        ).alias("cs"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    return (
+        sims.select("*", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id",
+                F.round("cs", 6).alias("cos_sim"))
+    )
