@@ -36,9 +36,18 @@ def connected_components(
     """LoopResult whose state is ``(v: long, component: long)``;
     component = min vertex id reachable. Exact (north rule).
 
-    ``use_delta``: join only the changed-label frontier each round (default;
-    measured vs the full-state join at sf0.1 — see BASELINE.md r3). The
-    full-state variant is kept for measurement, not as a user knob.
+    ``use_delta``: ALLOW the changed-label frontier join, gated per round on
+    measured frontier size (frontier < n/8) — the direction-optimizing-BFS
+    discipline (bfs.py ALPHA switch). Rationale, measured at sf0.1
+    (scripts/cc_compare.py, min-of-3): hash-min on a small-diameter graph
+    has nearly every label improving until the final rounds, so an
+    always-on frontier filter only adds a filter + accurate-flag upkeep to
+    a join that isn't shrinking (10.1 s always-delta vs 7.6 s full-state);
+    the frontier join pays exactly when few labels changed last round.
+    Correctness is switch-point independent: joining a SUPERSET of the
+    changed frontier is always sound, and the changed flags are exact
+    either way. ``use_delta=False`` forces the full-state join (kept for
+    measurement).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -57,10 +66,23 @@ def connected_components(
         .select("v", F.col("v").alias("component"), F.lit(True).alias("changed"))
     )
 
+    # driver-side gate state: last round's changed count (set by delta_fn,
+    # which the loop calls every iteration anyway — no extra job) and the
+    # vertex count. Resume resets it → first resumed round joins full
+    # state, which is always correct; only the physical plan differs.
+    _gate = {"n": None, "last_changed": None}
+
     def step(state: DataFrame, _i: int) -> DataFrame:
         # delta iteration: a vertex's label can only improve via a neighbor
-        # whose label improved last round — join ONLY the changed frontier
-        frontier = state.where(F.col("changed")) if use_delta else state
+        # whose label improved last round — join ONLY the changed frontier,
+        # but only once the frontier actually shrank (< n/8): early rounds
+        # of hash-min change ~everything and the filter is pure overhead
+        small_frontier = (
+            _gate["last_changed"] is not None
+            and _gate["n"] is not None
+            and _gate["last_changed"] < _gate["n"] / 8
+        )
+        frontier = state.where(F.col("changed")) if (use_delta and small_frontier) else state
         nbr_min = (
             sym.join(
                 frontier.select(F.col("v").alias(SRC), "component"),
@@ -101,7 +123,11 @@ def connected_components(
         )
 
     def delta_fn(_old: DataFrame, new: DataFrame, _i: int) -> float:
-        return float(new.where(F.col("changed")).count())
+        changed = float(new.where(F.col("changed")).count())
+        _gate["last_changed"] = changed
+        if _gate["n"] is None:
+            _gate["n"] = float(new.count())
+        return changed
 
     result = loop(
         state0,
