@@ -535,6 +535,54 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_levels(e, roots=[int(root)]).select("v", "level")
 
 
+def q_bfs_levels_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-tier BFS (in-memory CSR sweep) forced explicitly — same
+    recursive-CTE oracle as the auto/shuffle paths; the three tier gates
+    mirror the per-strategy triangle gates."""
+    from triangle_counting_spark.operators.bfs import bfs_levels
+
+    e = _edges(spark, sf_dir)
+    root = e.agg(F.min("src")).collect()[0][0]
+    return bfs_levels(e, roots=[int(root)], tier="blocked").select("v", "level")
+
+
+def q_bfs_levels_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-tier BFS (frontier join loop) forced explicitly."""
+    from triangle_counting_spark.operators.bfs import bfs_levels
+
+    e = _edges(spark, sf_dir)
+    root = e.agg(F.min("src")).collect()[0][0]
+    return bfs_levels(e, roots=[int(root)], tier="shuffle").select("v", "level")
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup end-to-end (availableNow over the staged
+    documents table): surviving-row count == COUNT(DISTINCT md5(text)) —
+    dropDuplicatesWithinWatermark keeps exactly one row per text hash
+    within the horizon, and the fixture is a single batch."""
+    import shutil
+    import tempfile
+
+    from triangle_counting_spark.streaming.events import run_dedup_stream_demo
+
+    out_dir = tempfile.mkdtemp(prefix="tcs_dedup_gate_")
+    try:
+        n = run_dedup_stream_demo(spark, f"{sf_dir}/documents.parquet", out_dir)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame([(n,)], "n_unique long")
+
+
+def q_distance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source exact distances (effective diameter / avg distance):
+    roots = the 8 vertices with the smallest md5(v) — replayable in ANSI
+    SQL — then exact per-root BFS; p90 uses linear interpolation on both
+    sides (Spark percentile == DuckDB quantile_cont)."""
+    from triangle_counting_spark.operators.distances import distance_stats
+
+    return distance_stats(_edges(spark, sf_dir), n_roots=8)
+
+
 def q_heavy_light_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from triangle_counting_spark.operators.stats import classify_edge_weights
 
@@ -758,8 +806,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation_blocked": q_label_propagation_blocked,
         "label_propagation_weighted": q_label_propagation_weighted,
         "bfs_levels": q_bfs_levels,
+        "bfs_levels_blocked": q_bfs_levels_blocked,
+        "bfs_levels_shuffle": q_bfs_levels_shuffle,
+        "distance_stats": q_distance_stats,
         "heavy_light_edges": q_heavy_light_edges,
         "dedup_exact": q_dedup_exact,
+        "streaming_dedup": q_streaming_dedup,
         "neardup_jaccard": q_neardup_jaccard,
         "neardup_clusters": q_neardup_clusters,
         "text_stats": q_text_stats,
@@ -793,7 +845,7 @@ SELECT COUNT(*)::BIGINT AS triangles FROM edges e1
 JOIN edges e2 ON e1.dst = e2.src
 JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
     )
-    return {
+    out = {
         "edge_derivation": "WITH " + EDGES_CTE + "\nSELECT src, dst FROM edges",
         "triangle_count": tri_sql,
         "triangle_count_join": tri_sql,
@@ -853,6 +905,7 @@ SELECT v, MIN(l)::BIGINT AS component FROM reach GROUP BY v"""
         "label_propagation": _labelprop_sql(),
         "label_propagation_blocked": _labelprop_sql(),
         "label_propagation_weighted": _labelprop_weighted_sql(),
+        "streaming_dedup": "SELECT COUNT(DISTINCT md5(text))::BIGINT AS n_unique FROM documents",
         "bfs_levels": (
             "WITH RECURSIVE "
             + EDGES_CTE
@@ -1158,3 +1211,25 @@ FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE c / (sa.sz + sb.sz - c) >= {JACCARD_MIN}""",
         "simhash_neardup": _simhash_sql(bits=60, max_hamming=3),
     }
+    out["distance_stats"] = (
+        "WITH RECURSIVE "
+        + EDGES_CTE
+        + """,
+roots AS (SELECT v FROM verts ORDER BY md5(CAST(v AS VARCHAR)), v LIMIT 8),
+reach(root, v, dist) AS (
+  SELECT v, v, 0::BIGINT FROM roots
+  UNION
+  SELECT reach.root, sym.dst, reach.dist + 1 FROM sym
+  JOIN reach ON sym.src = reach.v WHERE reach.dist < 64
+),
+d AS (SELECT root, v, MIN(dist)::BIGINT AS dist FROM reach GROUP BY root, v)
+SELECT COUNT(*)::BIGINT AS n_pairs,
+       ROUND(AVG(dist), 6) AS avg_dist,
+       ROUND(quantile_cont(dist, 0.9), 6) AS p90_dist,
+       MAX(dist)::BIGINT AS max_dist
+FROM d"""
+    )
+    # the BFS tier gates share the auto-path oracle (identical fixpoint)
+    out["bfs_levels_blocked"] = out["bfs_levels"]
+    out["bfs_levels_shuffle"] = out["bfs_levels"]
+    return out

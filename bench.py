@@ -111,7 +111,7 @@ def main() -> None:
     triangles = tri_box["t"]
     tri_sec = times["triangle_count"]
 
-    for strat in ("sql", "part", "merge", "join", "level"):
+    for strat in ("sql", "part", "merge", "probe", "join", "level"):
         timed(
             f"triangle_count_{strat}",
             lambda s=strat: triangle_count(edges, s, assume_canonical=True).collect(),
@@ -177,6 +177,26 @@ def main() -> None:
         "similarity_topk",
         lambda: brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5).count(),
     )
+
+    from triangle_counting_spark.functions.similarity import ivf_topk
+
+    timed(
+        "ivf_topk",
+        lambda: ivf_topk(
+            emb, emb.where(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=4
+        ).count(),
+    )
+
+    from triangle_counting_spark.operators.bfs import bfs_levels
+
+    root_box = {}
+
+    def bfs_run():
+        if "r" not in root_box:
+            root_box["r"] = int(edges.agg(F.min("src")).collect()[0][0])
+        bfs_levels(edges, roots=[root_box["r"]]).count()
+
+    timed("bfs_levels", bfs_run)
 
     total = round(sum(times.values()), 3)
     out = {

@@ -1,0 +1,171 @@
+"""Sampled-source distance statistics — average distance, effective
+diameter, sampled diameter lower bound.
+
+The reference's BFS (bfs.c:7-54) computes levels from ONE root; the
+standard link-graph questions built on it — "how far apart are vertices",
+"what is the 90th-percentile distance" (effective diameter) — need exact
+per-root distances from MANY independent sources. Exact all-pairs is
+O(n·m) and off the table at web scale; the standard estimator (HyperANF's
+motivation, and the sampling scheme in the SNAP notebooks' tradition) is
+exact BFS from a deterministic sample of roots.
+
+Root sampling is md5-rank based (smallest md5(v) strings), NOT xxhash64,
+so the exact root set replays in ANSI SQL / DuckDB for the oracle — the
+same replayability trick as triangle_count_estimate.
+
+Two tiers, same fixpoint (gate-cross-checked):
+- blocked: in-memory CSR, one numpy BFS sweep per root — n_roots · O(m)
+  with zero shuffles; the fits-in-memory default.
+- shuffle: ONE simultaneous multi-root frontier loop over (root, v)
+  state — each round is a frontier ⋈ edges join + a (root, v) min-agg +
+  an anti-join against reached state. O(diameter) rounds regardless of
+  root count; state is |roots| · |V| rows worst case, hash-partitioned.
+  First-reach = min-distance (BFS invariant), so reached rows are final
+  and never rejoin the frontier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .orientation import DST, SRC, canonical_edges, symmetrize
+
+
+def sample_roots(edges: DataFrame, n_roots: int, assume_canonical: bool = False) -> DataFrame:
+    """The n_roots vertices with the smallest md5(v) — deterministic and
+    ANSI-SQL-replayable (``ORDER BY md5(CAST(v AS VARCHAR)), v``)."""
+    ce = edges.select(SRC, DST) if assume_canonical else canonical_edges(edges)
+    verts = ce.select(F.col(SRC).alias("v")).union(ce.select(F.col(DST).alias("v"))).distinct()
+    return verts.orderBy(F.md5(F.col("v").cast("string")), F.col("v")).limit(n_roots)
+
+
+def sampled_distances(
+    edges: DataFrame,
+    n_roots: int = 16,
+    tier: str = "auto",
+    max_iter: int = 256,
+) -> DataFrame:
+    """(root, v, dist) — EXACT BFS distance from each sampled root to every
+    vertex it reaches (including (root, root, 0)). Unreached pairs absent.
+    """
+    ce = canonical_edges(edges)
+    if tier == "auto":
+        from ..plans.planner import choose_iterative_tier
+
+        tier = choose_iterative_tier(ce, assume_canonical=True)
+    roots = sample_roots(ce, n_roots, assume_canonical=True)
+    if tier == "blocked":
+        return _sampled_distances_blocked(ce, roots)
+    if tier != "shuffle":
+        raise ValueError(f"unknown tier {tier!r}")
+    return _sampled_distances_shuffle(ce, roots, max_iter)
+
+
+def _sampled_distances_blocked(ce: DataFrame, roots: DataFrame) -> DataFrame:
+    """One numpy BFS per root over a local CSR (bfs.py blocked-tier shape)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = ce.sparkSession
+    schema = "root long, v long, dist long"
+    pdf = ce.select(SRC, DST).toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema)
+    root_ids = np.array(sorted(r["v"] for r in roots.collect()), dtype=np.int64)
+    s = pdf[SRC].to_numpy(np.int64)
+    d = pdf[DST].to_numpy(np.int64)
+    verts = np.unique(np.concatenate([s, d]))
+    n = len(verts)
+    sc = np.searchsorted(verts, s)
+    dc = np.searchsorted(verts, d)
+    heads = np.concatenate([sc, dc])
+    tails = np.concatenate([dc, sc])
+    deg = np.bincount(heads, minlength=n)
+    rowptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg, out=rowptr[1:])
+    ci = tails[np.argsort(heads, kind="stable")]
+
+    frames = []
+    for root in root_ids:
+        seed = int(np.searchsorted(verts, root))
+        if seed >= n or verts[seed] != root:
+            continue
+        dist = np.full(n, -1, dtype=np.int64)
+        dist[seed] = 0
+        frontier = np.array([seed], dtype=np.int64)
+        lvl = 0
+        while len(frontier):
+            lvl += 1
+            starts = rowptr[frontier]
+            lens = rowptr[frontier + 1] - starts
+            tot = int(lens.sum())
+            if tot == 0:
+                break
+            offs = (
+                np.arange(tot, dtype=np.int64)
+                - np.repeat(np.cumsum(lens) - lens, lens)
+                + np.repeat(starts, lens)
+            )
+            nbrs = np.unique(ci[offs])
+            new = nbrs[dist[nbrs] < 0]
+            if not len(new):
+                break
+            dist[new] = lvl
+            frontier = new
+        mask = dist >= 0
+        frames.append(
+            pd.DataFrame({"root": root, "v": verts[mask], "dist": dist[mask]})
+        )
+    if not frames:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(pd.concat(frames, ignore_index=True), schema=schema)
+
+
+def _sampled_distances_shuffle(
+    ce: DataFrame, roots: DataFrame, max_iter: int
+) -> DataFrame:
+    """Simultaneous multi-root BFS: one frontier join per round for ALL
+    roots. Reached (root, v) rows are final (first reach is the min dist),
+    so each round only the new frontier joins the edge table."""
+    from pyspark.storagelevel import StorageLevel
+
+    sym = symmetrize(ce).persist(StorageLevel.MEMORY_AND_DISK)
+    state = (
+        F.broadcast(roots)
+        .select(F.col("v").alias("root"), F.col("v"), F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = state
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                frontier.select(F.col("v").alias(SRC), "root", "dist"), SRC
+            )
+            .groupBy("root", F.col(DST).alias("v"))
+            .agg((F.min("dist") + 1).alias("dist"))
+        )
+        new = nbr.join(state, ["root", "v"], "left_anti").localCheckpoint(eager=True)
+        if new.limit(1).count() == 0:
+            break
+        state = state.union(new).localCheckpoint(eager=True)
+        frontier = new
+    sym.unpersist()
+    return state.select("root", "v", "dist")
+
+
+def distance_stats(
+    edges: DataFrame, n_roots: int = 16, tier: str = "auto"
+) -> DataFrame:
+    """One row: (n_pairs, avg_dist, p90_dist, max_dist) over the sampled
+    exact distances — avg = mean reachable distance, p90 = effective
+    diameter (90th percentile, linear interpolation — matches ANSI
+    quantile_cont), max = sampled diameter lower bound. Self-pairs
+    (dist 0) included, mirroring the SQL oracle."""
+    d = sampled_distances(edges, n_roots=n_roots, tier=tier)
+    return d.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("dist"), 6).alias("avg_dist"),
+        F.round(F.percentile("dist", F.lit(0.9)), 6).alias("p90_dist"),
+        F.max("dist").alias("max_dist"),
+    )
