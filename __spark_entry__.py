@@ -573,6 +573,15 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,)], "n_unique long")
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-wedge link prediction (common / jaccard / adamic-adar) over
+    the co-occurrence graph; min_common bounds the result to strongly
+    predicted pairs. Exact (no center cap) -> full SQL replay."""
+    from triangle_counting_spark.operators.linkpred import link_prediction
+
+    return link_prediction(_edges(spark, sf_dir), min_common=20)
+
+
 def q_distance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled-source exact distances (effective diameter / avg distance):
     roots = the 8 vertices with the smallest md5(v) — replayable in ANSI
@@ -809,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_levels_blocked": q_bfs_levels_blocked,
         "bfs_levels_shuffle": q_bfs_levels_shuffle,
         "distance_stats": q_distance_stats,
+        "link_prediction": q_link_prediction,
         "heavy_light_edges": q_heavy_light_edges,
         "dedup_exact": q_dedup_exact,
         "streaming_dedup": q_streaming_dedup,
@@ -1211,6 +1221,30 @@ FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE c / (sa.sz + sb.sz - c) >= {JACCARD_MIN}""",
         "simhash_neardup": _simhash_sql(bits=60, max_hamming=3),
     }
+    out["link_prediction"] = (
+        "WITH "
+        + EDGES_CTE
+        + """,
+wedge AS (
+  SELECT a.src AS w, a.dst AS u, b.dst AS v
+  FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+),
+open_w AS (
+  SELECT wedge.w, wedge.u, wedge.v FROM wedge
+  LEFT JOIN edges e ON e.src = wedge.u AND e.dst = wedge.v
+  WHERE e.src IS NULL
+),
+scored AS (
+  SELECT open_w.u AS u, open_w.v AS v, COUNT(*)::BIGINT AS common,
+         SUM(1.0 / LN(dw.degree)) AS aa
+  FROM open_w JOIN deg dw ON dw.v = open_w.w
+  GROUP BY open_w.u, open_w.v HAVING COUNT(*) >= 20
+)
+SELECT s.u, s.v, s.common,
+       ROUND(CAST(s.common AS DOUBLE) / (du.degree + dv.degree - s.common), 6) AS jaccard,
+       ROUND(s.aa, 6) AS adamic_adar
+FROM scored s JOIN deg du ON du.v = s.u JOIN deg dv ON dv.v = s.v"""
+    )
     out["distance_stats"] = (
         "WITH RECURSIVE "
         + EDGES_CTE
