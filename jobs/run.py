@@ -92,6 +92,19 @@ def main() -> None:
         r = connected_components(edges, checkpoint_dir=args.checkpoint_dir, run_id=args.run_id)
         ncomp = r.state.select("component").distinct().count()
         out["components"] = {"n": ncomp, "iterations": r.iterations, "sec": time.time() - t0}
+    if args.job == "distances":
+        from triangle_counting_spark.operators.distances import distance_stats
+
+        t0 = time.time()
+        row = distance_stats(edges, n_roots=args.k).collect()[0]
+        out["distances"] = {**row.asDict(), "sec": time.time() - t0}
+    if args.job == "linkpred":
+        from triangle_counting_spark.operators.linkpred import link_prediction
+
+        t0 = time.time()
+        n_pairs = link_prediction(edges, min_common=args.k).count()
+        out["linkpred"] = {"min_common": args.k, "pairs": n_pairs,
+                          "sec": time.time() - t0}
     if args.job in ("labelprop", "all"):
         t0 = time.time()
         r = label_propagation(edges, checkpoint_dir=args.checkpoint_dir,

@@ -113,10 +113,24 @@ class Graph:
             clustering_coefficient(self.edges).collect()[0]["global_clustering"]
         )
 
-    def bfs(self, roots: list[int] | None = None) -> DataFrame:
+    def bfs(self, roots: list[int] | None = None, tier: str = "auto") -> DataFrame:
         from .operators.bfs import bfs_levels
 
-        return bfs_levels(self.edges, roots=roots)
+        return bfs_levels(self.edges, roots=roots, tier=tier)
+
+    def distance_stats(self, n_roots: int = 16, tier: str = "auto") -> DataFrame:
+        from .operators.distances import distance_stats
+
+        return distance_stats(self.edges, n_roots=n_roots, tier=tier)
+
+    def link_prediction(
+        self, min_common: int = 1, max_center_degree: int | None = None
+    ) -> DataFrame:
+        from .operators.linkpred import link_prediction
+
+        return link_prediction(
+            self.edges, min_common=min_common, max_center_degree=max_center_degree
+        )
 
     def _tier(self, tier: str) -> str:
         if tier != "auto":
