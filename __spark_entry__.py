@@ -582,6 +582,18 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(_edges(spark, sf_dir), min_common=20)
 
 
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triangle_counting_spark.operators.stats import degree_assortativity
+
+    return degree_assortativity(_edges(spark, sf_dir))
+
+
+def q_power_law_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from triangle_counting_spark.operators.stats import power_law_alpha
+
+    return power_law_alpha(_edges(spark, sf_dir), dmin=5)
+
+
 def q_distance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled-source exact distances (effective diameter / avg distance):
     roots = the 8 vertices with the smallest md5(v) — replayable in ANSI
@@ -818,6 +830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_levels_blocked": q_bfs_levels_blocked,
         "bfs_levels_shuffle": q_bfs_levels_shuffle,
         "distance_stats": q_distance_stats,
+        "assortativity": q_assortativity,
+        "power_law_alpha": q_power_law_alpha,
         "link_prediction": q_link_prediction,
         "heavy_light_edges": q_heavy_light_edges,
         "dedup_exact": q_dedup_exact,
@@ -1221,6 +1235,22 @@ FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE c / (sa.sz + sb.sz - c) >= {JACCARD_MIN}""",
         "simhash_neardup": _simhash_sql(bits=60, max_hamming=3),
     }
+    out["assortativity"] = (
+        "WITH "
+        + EDGES_CTE
+        + """
+SELECT ROUND(CORR(CAST(du.degree AS DOUBLE), CAST(dv.degree AS DOUBLE)), 6)
+       AS assortativity
+FROM sym JOIN deg du ON du.v = sym.src JOIN deg dv ON dv.v = sym.dst"""
+    )
+    out["power_law_alpha"] = (
+        "WITH "
+        + EDGES_CTE
+        + """
+SELECT ROUND(1.0 + COUNT(*) / SUM(LN(degree / 4.5)), 6) AS alpha,
+       COUNT(*)::BIGINT AS n_tail
+FROM deg WHERE degree >= 5"""
+    )
     out["link_prediction"] = (
         "WITH "
         + EDGES_CTE

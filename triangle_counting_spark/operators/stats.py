@@ -128,3 +128,54 @@ def comm_cost_model(edges: DataFrame) -> DataFrame:
     return costs.groupBy("strategy").agg(
         F.count(F.lit(1)).alias("edges"), F.round(F.sum("bits"), 4).alias("total_bits")
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """1 row ``(assortativity)`` — Pearson correlation of endpoint degrees
+    over the symmetrized edge list (Newman's degree-correlation r): r > 0
+    hubs link hubs, r < 0 hubs link leaves (the usual web/link-graph
+    regime). One symmetrize + two broadcastable degree joins + one corr
+    aggregate; round 6 for oracle parity (ANSI CORR is the same two-pass
+    moment formula at this scale)."""
+    ce = canonical_edges(edges)
+    deg = degrees(ce)
+    sym = ce.select(SRC, DST).union(
+        ce.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    )
+    paired = (
+        sym.join(deg.select(F.col("v").alias(SRC), F.col("degree").alias("_du")), SRC)
+        .join(deg.select(F.col("v").alias(DST), F.col("degree").alias("_dv")), DST)
+    )
+    # corr spelled as covar/(σx·σy) with try_divide: Spark 4 ANSI `corr`
+    # RAISES on a zero-variance input (regular graphs), while the oracle's
+    # ANSI CORR returns NULL — try_divide restores the NULL semantics; the
+    # population/sample distinction cancels in the ratio
+    x = F.col("_du").cast("double")
+    y = F.col("_dv").cast("double")
+    return paired.agg(
+        F.round(
+            F.try_divide(
+                F.covar_pop(x, y), F.stddev_pop(x) * F.stddev_pop(y)
+            ),
+            6,
+        ).alias("assortativity")
+    )
+
+
+def power_law_alpha(edges: DataFrame, dmin: int = 2) -> DataFrame:
+    """1 row ``(alpha, n_tail)`` — the continuous-MLE power-law exponent of
+    the degree distribution over the tail degree >= dmin
+    (Clauset-Shalizi-Newman: alpha = 1 + n / Σ ln(d / (dmin - 1/2)));
+    the notebook eyeballs the log-log histogram (ipynb 8-10), this is the
+    estimator that replaces the eyeball. Single aggregate over the degree
+    table; exact SQL replay."""
+    deg = degrees(edges).where(F.col("degree") >= dmin)
+    return deg.agg(
+        F.round(
+            F.lit(1.0)
+            + F.count(F.lit(1))
+            / F.sum(F.log(F.col("degree") / F.lit(dmin - 0.5))),
+            6,
+        ).alias("alpha"),
+        F.count(F.lit(1)).alias("n_tail"),
+    )
