@@ -594,6 +594,20 @@ def q_power_law_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_law_alpha(_edges(spark, sf_dir), dmin=5)
 
 
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths from the md5-min vertex over
+    the shared-order-count weighted co-occurrence graph. Oracle = unrolled
+    Bellman-Ford rounds (the kcore/pagerank MATERIALIZED-peel pattern);
+    integer-valued weights make the distance sums float-exact."""
+    from triangle_counting_spark.operators.distances import sssp
+    from triangle_counting_spark.sources.edges import cooccurrence_weighted_edges
+
+    we = cooccurrence_weighted_edges(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
+    )
+    return sssp(we).select("v", F.round("dist", 6).alias("dist"))
+
+
 def q_distance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled-source exact distances (effective diameter / avg distance):
     roots = the 8 vertices with the smallest md5(v) — replayable in ANSI
@@ -830,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_levels_blocked": q_bfs_levels_blocked,
         "bfs_levels_shuffle": q_bfs_levels_shuffle,
         "distance_stats": q_distance_stats,
+        "sssp": q_sssp,
         "assortativity": q_assortativity,
         "power_law_alpha": q_power_law_alpha,
         "link_prediction": q_link_prediction,
@@ -1250,6 +1265,153 @@ FROM sym JOIN deg du ON du.v = sym.src JOIN deg dv ON dv.v = sym.dst"""
 SELECT ROUND(1.0 + COUNT(*) / SUM(LN(degree / 4.5)), 6) AS alpha,
        COUNT(*)::BIGINT AS n_tail
 FROM deg WHERE degree >= 5"""
+    )
+    out["sssp"] = (
+        """
+WITH
+wedges AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+         COUNT(DISTINCT a.l_orderkey)::DOUBLE AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+wsym AS MATERIALIZED (
+  SELECT src, dst, w FROM wedges
+  UNION ALL SELECT dst AS src, src AS dst, w FROM wedges
+),
+wverts AS (SELECT DISTINCT src AS v FROM wsym),
+d0 AS (SELECT v, 0.0 AS dist FROM wverts
+       ORDER BY md5(CAST(v AS VARCHAR)), v LIMIT 1),
+d1 AS MATERIALIZED (
+  SELECT v, MIN(dist) AS dist FROM (
+    SELECT v, dist FROM d0
+    UNION ALL
+    SELECT wsym.dst AS v, d.dist + wsym.w AS dist
+    FROM wsym JOIN d0 d ON wsym.src = d.v
+  ) GROUP BY v
+),
+d2 AS MATERIALIZED (
+  SELECT v, MIN(dist) AS dist FROM (
+    SELECT v, dist FROM d1
+    UNION ALL
+    SELECT wsym.dst AS v, d.dist + wsym.w AS dist
+    FROM wsym JOIN d1 d ON wsym.src = d.v
+  ) GROUP BY v
+),
+d3 AS MATERIALIZED (
+  SELECT v, MIN(dist) AS dist FROM (
+    SELECT v, dist FROM d2
+    UNION ALL
+    SELECT wsym.dst AS v, d.dist + wsym.w AS dist
+    FROM wsym JOIN d2 d ON wsym.src = d.v
+  ) GROUP BY v
+),
+d4 AS MATERIALIZED (
+  SELECT v, MIN(dist) AS dist FROM (
+    SELECT v, dist FROM d3
+    UNION ALL
+    SELECT wsym.dst AS v, d.dist + wsym.w AS dist
+    FROM wsym JOIN d3 d ON wsym.src = d.v
+  ) GROUP BY v
+),
+d5 AS MATERIALIZED (
+  SELECT v, MIN(dist) AS dist FROM (
+    SELECT v, dist FROM d4
+    UNION ALL
+    SELECT wsym.dst AS v, d.dist + wsym.w AS dist
+    FROM wsym JOIN d4 d ON wsym.src = d.v
+  ) GROUP BY v
+),
+d6 AS MATERIALIZED (
+  SELECT v, MIN(dist) AS dist FROM (
+    SELECT v, dist FROM d5
+    UNION ALL
+    SELECT wsym.dst AS v, d.dist + wsym.w AS dist
+    FROM wsym JOIN d5 d ON wsym.src = d.v
+  ) GROUP BY v
+),
+d7 AS MATERIALIZED (
+  SELECT v, MIN(dist) AS dist FROM (
+    SELECT v, dist FROM d6
+    UNION ALL
+    SELECT wsym.dst AS v, d.dist + wsym.w AS dist
+    FROM wsym JOIN d6 d ON wsym.src = d.v
+  ) GROUP BY v
+),
+d8 AS MATERIALIZED (
+  SELECT v, MIN(dist) AS dist FROM (
+    SELECT v, dist FROM d7
+    UNION ALL
+    SELECT wsym.dst AS v, d.dist + wsym.w AS dist
+    FROM wsym JOIN d7 d ON wsym.src = d.v
+  ) GROUP BY v
+),
+d9 AS MATERIALIZED (
+  SELECT v, MIN(dist) AS dist FROM (
+    SELECT v, dist FROM d8
+    UNION ALL
+    SELECT wsym.dst AS v, d.dist + wsym.w AS dist
+    FROM wsym JOIN d8 d ON wsym.src = d.v
+  ) GROUP BY v
+),
+d10 AS MATERIALIZED (
+  SELECT v, MIN(dist) AS dist FROM (
+    SELECT v, dist FROM d9
+    UNION ALL
+    SELECT wsym.dst AS v, d.dist + wsym.w AS dist
+    FROM wsym JOIN d9 d ON wsym.src = d.v
+  ) GROUP BY v
+),
+d11 AS MATERIALIZED (
+  SELECT v, MIN(dist) AS dist FROM (
+    SELECT v, dist FROM d10
+    UNION ALL
+    SELECT wsym.dst AS v, d.dist + wsym.w AS dist
+    FROM wsym JOIN d10 d ON wsym.src = d.v
+  ) GROUP BY v
+),
+d12 AS MATERIALIZED (
+  SELECT v, MIN(dist) AS dist FROM (
+    SELECT v, dist FROM d11
+    UNION ALL
+    SELECT wsym.dst AS v, d.dist + wsym.w AS dist
+    FROM wsym JOIN d11 d ON wsym.src = d.v
+  ) GROUP BY v
+),
+d13 AS MATERIALIZED (
+  SELECT v, MIN(dist) AS dist FROM (
+    SELECT v, dist FROM d12
+    UNION ALL
+    SELECT wsym.dst AS v, d.dist + wsym.w AS dist
+    FROM wsym JOIN d12 d ON wsym.src = d.v
+  ) GROUP BY v
+),
+d14 AS MATERIALIZED (
+  SELECT v, MIN(dist) AS dist FROM (
+    SELECT v, dist FROM d13
+    UNION ALL
+    SELECT wsym.dst AS v, d.dist + wsym.w AS dist
+    FROM wsym JOIN d13 d ON wsym.src = d.v
+  ) GROUP BY v
+),
+d15 AS MATERIALIZED (
+  SELECT v, MIN(dist) AS dist FROM (
+    SELECT v, dist FROM d14
+    UNION ALL
+    SELECT wsym.dst AS v, d.dist + wsym.w AS dist
+    FROM wsym JOIN d14 d ON wsym.src = d.v
+  ) GROUP BY v
+),
+d16 AS MATERIALIZED (
+  SELECT v, MIN(dist) AS dist FROM (
+    SELECT v, dist FROM d15
+    UNION ALL
+    SELECT wsym.dst AS v, d.dist + wsym.w AS dist
+    FROM wsym JOIN d15 d ON wsym.src = d.v
+  ) GROUP BY v
+)
+SELECT v, ROUND(dist, 6) AS dist FROM d16"""
     )
     out["link_prediction"] = (
         "WITH "

@@ -63,3 +63,70 @@ def test_stats_match_across_tiers(spark):
     rb = distance_stats(e, n_roots=4, tier="blocked").collect()[0]
     rs = distance_stats(e, n_roots=4, tier="shuffle").collect()[0]
     assert rb == rs
+
+
+WEIGHTED = [
+    # (src, dst, weight): a short heavy edge vs a long light path
+    (0, 1, 10.0),
+    (0, 2, 1.0),
+    (2, 3, 1.0),
+    (3, 1, 1.0),
+    (1, 4, 2.0),
+]
+
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(
+        [(int(a), int(b), float(w)) for a, b, w in triples],
+        "src long, dst long, weight double",
+    )
+
+
+def test_sssp_prefers_light_path_both_tiers(spark):
+    from triangle_counting_spark.operators.distances import sssp
+
+    e = _wedges(spark, WEIGHTED)
+    want = {0: 0.0, 2: 1.0, 3: 2.0, 1: 3.0, 4: 5.0}  # via 0-2-3-1, not 0-1
+    for tier in ("blocked", "shuffle"):
+        got = {r.v: r.dist for r in sssp(e, root=0, tier=tier).collect()}
+        assert got == want, (tier, got)
+
+
+def test_sssp_differential_vs_dijkstra(spark):
+    import heapq
+    import random
+
+    from triangle_counting_spark.operators.distances import sssp
+
+    rng = random.Random(17)
+    triples = [
+        (a, b, rng.randint(1, 9) * 1.0)
+        for a, b in sorted({tuple(sorted(rng.sample(range(14), 2))) for _ in range(35)})
+    ]
+    adj: dict[int, list] = {}
+    for a, b, w in triples:
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    dist = {0: 0.0}
+    pq = [(0.0, 0)]
+    while pq:
+        dd, u = heapq.heappop(pq)
+        if dd > dist.get(u, float("inf")):
+            continue
+        for vv, w in adj.get(u, []):
+            nd = dd + w
+            if nd < dist.get(vv, float("inf")):
+                dist[vv] = nd
+                heapq.heappush(pq, (nd, vv))
+    e = _wedges(spark, triples)
+    for tier in ("blocked", "shuffle"):
+        got = {r.v: r.dist for r in sssp(e, root=0, tier=tier).collect()}
+        assert got == dist, tier
+
+
+def test_sssp_rejects_nonpositive_weights(spark):
+    from triangle_counting_spark.operators.distances import sssp
+
+    e = _wedges(spark, [(0, 1, 0.0)])
+    with pytest.raises(ValueError, match="positive"):
+        sssp(e, root=0, tier="blocked")

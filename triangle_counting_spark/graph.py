@@ -123,6 +123,17 @@ class Graph:
 
         return distance_stats(self.edges, n_roots=n_roots, tier=tier)
 
+    def sssp(self, root: int | None = None, tier: str = "auto") -> DataFrame:
+        """Unit-weight shortest paths (== BFS distances) from the facade's
+        canonical edge table. ``__init__`` dropped any weight column (same
+        canonicalization hazard Graph.pagerank documents), so weighted SSSP
+        must call ``operators.distances.sssp(raw_edges, weight_col=...)``
+        on the ORIGINAL table."""
+        from .operators.distances import sssp
+
+        e = self.edges.select(SRC, DST, F.lit(1.0).alias("weight"))
+        return sssp(e, root=root, tier=tier)
+
     def link_prediction(
         self, min_common: int = 1, max_center_degree: int | None = None
     ) -> DataFrame:

@@ -169,3 +169,122 @@ def distance_stats(
         F.round(F.percentile("dist", F.lit(0.9)), 6).alias("p90_dist"),
         F.max("dist").alias("max_dist"),
     )
+
+
+def sssp(
+    edges: DataFrame,
+    root: int | None = None,
+    weight_col: str = "weight",
+    tier: str = "auto",
+    max_iter: int = 10_000,
+) -> DataFrame:
+    """(v, dist) — exact single-source shortest paths over POSITIVE edge
+    weights (undirected), the weighted companion to BFS.
+
+    ``root=None`` picks the md5-min vertex (SQL-replayable, same sampling
+    trick as :func:`sample_roots`). Algorithm is synchronous Bellman-Ford
+    with a delta frontier — per round only vertices whose distance
+    improved last round relax their neighbors (one join + one min-agg +
+    one improvement join), converging in hop-diameter rounds; positive
+    weights guarantee termination. The blocked tier runs the same rounds
+    as in-memory ``np.minimum.at`` scatters (zero shuffle). Weights must
+    be > 0 (validated) — negative edges are not a link-graph shape and
+    break the frontier argument.
+    """
+    s, d = F.col(SRC).cast("long"), F.col(DST).cast("long")
+    w = F.col(weight_col).cast("double")
+    ce = (
+        edges.select(s.alias(SRC), d.alias(DST), w.alias("_w"))
+        .where(F.col(SRC) != F.col(DST))
+        .where(F.col(SRC).isNotNull() & F.col(DST).isNotNull())
+    )
+    if ce.where(F.col("_w") <= 0).limit(1).count() > 0:
+        raise ValueError("sssp requires strictly positive edge weights")
+    sym = ce.union(
+        ce.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), F.col("_w"))
+    )
+    if root is None:
+        verts = sym.select(F.col(SRC).alias("v")).distinct()
+        root = int(
+            verts.orderBy(F.md5(F.col("v").cast("string")), F.col("v"))
+            .limit(1)
+            .collect()[0]["v"]
+        )
+    if tier == "auto":
+        from ..plans.planner import choose_iterative_tier
+
+        tier = choose_iterative_tier(ce.select(SRC, DST), assume_canonical=True)
+    if tier == "blocked":
+        return _sssp_blocked(sym, int(root))
+    if tier != "shuffle":
+        raise ValueError(f"unknown tier {tier!r}")
+    return _sssp_shuffle(sym, int(root), max_iter)
+
+
+def _sssp_blocked(sym: DataFrame, root: int) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    spark = sym.sparkSession
+    schema = "v long, dist double"
+    pdf = sym.toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([(root, 0.0)], schema)
+    s = pdf[SRC].to_numpy(np.int64)
+    d = pdf[DST].to_numpy(np.int64)
+    w = pdf["_w"].to_numpy(np.float64)
+    verts = np.unique(np.concatenate([s, d]))
+    n = len(verts)
+    sc = np.searchsorted(verts, s)
+    dc = np.searchsorted(verts, d)
+    dist = np.full(n, np.inf)
+    seed = int(np.searchsorted(verts, root))
+    if seed >= n or verts[seed] != root:
+        return spark.createDataFrame([(root, 0.0)], schema)
+    dist[seed] = 0.0
+    # synchronous Bellman-Ford rounds: one vectorized scatter per round;
+    # terminates in hop-diameter rounds on positive weights
+    while True:
+        cand = dist[sc] + w
+        new = dist.copy()
+        np.minimum.at(new, dc, cand)
+        if np.array_equal(new, dist):  # inf == inf holds elementwise
+            break
+        dist = new
+    mask = np.isfinite(dist)
+    return spark.createDataFrame(
+        pd.DataFrame({"v": verts[mask], "dist": dist[mask]}), schema=schema
+    )
+
+
+def _sssp_shuffle(sym: DataFrame, root: int, max_iter: int) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    spark = sym.sparkSession
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    state = spark.createDataFrame(
+        [(root, 0.0)], "v long, dist double"
+    ).localCheckpoint(eager=True)
+    frontier = state
+    for _ in range(max_iter):
+        relax = (
+            sym.join(frontier.select(F.col("v").alias(SRC), "dist"), SRC)
+            .groupBy(F.col(DST).alias("v"))
+            .agg(F.min(F.col("dist") + F.col("_w")).alias("cand"))
+        )
+        improved = (
+            relax.join(state, "v", "left")
+            .where(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+            .select("v", F.col("cand").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.limit(1).count() == 0:
+            break
+        state = (
+            state.join(improved.select("v"), "v", "left_anti")
+            .union(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    sym.unpersist()
+    return state
