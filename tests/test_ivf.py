@@ -78,3 +78,12 @@ def test_ivf_fewer_vectors_than_centroids(spark):
     assert {(r.query_id, r.rank, r.neighbor_id) for r in out} == {
         (r.query_id, r.rank, r.neighbor_id) for r in exact
     }
+
+
+def test_ivf_empty_corpus_clear_error(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="positive norm"):
+        ivf_centroids(empty, n_centroids=4)
+    zero = spark.createDataFrame([(0, [0.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="positive norm"):
+        ivf_centroids(zero, n_centroids=4)

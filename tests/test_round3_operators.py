@@ -150,6 +150,44 @@ def test_streaming_triangle_count_dedups_replayed_edges(spark, tmp_path):
     assert ledger[-1]["total"] == 1
 
 
+def test_streaming_triangle_maintainer_crash_replay_idempotent(spark, tmp_path):
+    """At-least-once semantics: re-running a batch — including after a
+    simulated crash between the edges write and the counts write — must
+    leave the ledger identical (all writes are per-batch overwrites)."""
+    import shutil
+
+    from triangle_counting_spark.streaming.triangles import (
+        make_triangle_maintainer,
+    )
+
+    state = str(tmp_path / "crash")
+    process = make_triangle_maintainer(state)
+    k4 = make_edges(spark, TINY["K4"][0])
+    tri = make_edges(spark, TINY["triangle"][0])
+    process(k4, 0)
+    process(tri, 1)
+
+    def ledger():
+        return [
+            (r["batch_id"], r["added"], r["total"])
+            for r in spark.read.option("basePath", f"{state}/counts")
+            .parquet(f"{state}/counts")
+            .orderBy("batch_id")
+            .collect()
+        ]
+
+    want = ledger()
+    # full replay of the last batch (checkpoint lost its commit)
+    process(tri, 1)
+    assert ledger() == want
+    # crash AFTER the edges write, BEFORE the counts write: wipe the batch's
+    # counts dir and replay — the edges/batch=1 dir still exists, which is
+    # exactly the state the old append-based layout corrupted on
+    shutil.rmtree(f"{state}/counts/batch=1")
+    process(tri, 1)
+    assert ledger() == want
+
+
 # ------------------------------------------------------- PPR seed DataFrame
 
 

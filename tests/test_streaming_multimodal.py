@@ -24,9 +24,29 @@ def test_multimodal_feature_plumbing(spark):
 
 
 def test_multimodal_decode_stub_raises(spark):
-    media = synthetic_media(spark, n=4)
+    # image/video payloads hit the stub boundary (audio is real now, so
+    # exclude it — its fake payloads would fail WAV parsing instead)
+    media = synthetic_media(spark, n=16).where(F.col("kind") != "audio")
     with pytest.raises(Exception, match="NotImplementedError|decoding requires"):
         extract_features(media, fake=False).collect()
+
+
+def test_multimodal_real_audio_features_end_to_end(spark):
+    """fake=False over real WAV payloads: the decode boundary feeds actual
+    spectral features through the same mapInPandas plumbing."""
+    from pyspark.sql import functions as FF
+
+    from triangle_counting_spark.functions.audio import synthetic_wav_media
+
+    media = synthetic_wav_media(spark, 6).select(
+        "media_id", FF.lit("audio").alias("kind"), "payload"
+    )
+    rows = extract_features(media, dim=8, fake=False).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-9  # normalized band energies
+        assert max(r.feature) > 0.2  # a sine concentrates in one band
 
 
 def test_multimodal_audio_decode_is_real():

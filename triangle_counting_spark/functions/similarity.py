@@ -310,6 +310,10 @@ def ivf_centroids(
         .select("_emb", "_norm")
         .collect()
     )
+    if not init_rows:
+        raise ValueError(
+            "ivf_centroids: corpus has no vectors with positive norm"
+        )
     C = np.stack([np.asarray(r["_emb"], dtype=np.float64) / r["_norm"] for r in init_rows])
     if len(C) < n_centroids:
         n_centroids = len(C)

@@ -58,6 +58,46 @@ def frontier_neighbors(
     )
 
 
+def build_local_csr(pdf):
+    """Canonical-edge pandas frame -> symmetrized local CSR
+    ``(verts, deg, rowptr, ci)`` with searchsorted-compacted vertex codes —
+    the shared build for every driver-side blocked sweep (BFS here,
+    sampled distances in operators/distances.py)."""
+    import numpy as np
+
+    s = pdf[SRC].to_numpy(np.int64)
+    d = pdf[DST].to_numpy(np.int64)
+    verts = np.unique(np.concatenate([s, d]))
+    n = len(verts)
+    heads = np.concatenate([np.searchsorted(verts, s), np.searchsorted(verts, d)])
+    tails = np.concatenate([np.searchsorted(verts, d), np.searchsorted(verts, s)])
+    deg = np.bincount(heads, minlength=n)
+    rowptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg, out=rowptr[1:])
+    ci = tails[np.argsort(heads, kind="stable")]
+    return verts, deg, rowptr, ci
+
+
+def csr_expand_unvisited(rowptr, ci, frontier, visited_mask):
+    """One frontier expansion over the local CSR: the unique neighbors of
+    ``frontier`` whose ``visited_mask`` entry is False. Pure gather — the
+    shared inner step of the blocked BFS/distance sweeps."""
+    import numpy as np
+
+    starts = rowptr[frontier]
+    lens = rowptr[frontier + 1] - starts
+    tot = int(lens.sum())
+    if tot == 0:
+        return np.empty(0, dtype=np.int64)
+    offs = (
+        np.arange(tot, dtype=np.int64)
+        - np.repeat(np.cumsum(lens) - lens, lens)
+        + np.repeat(starts, lens)
+    )
+    nbrs = np.unique(ci[offs])
+    return nbrs[~visited_mask[nbrs]]
+
+
 def bfs_levels_blocked(
     edges: DataFrame,
     roots: list[int] | None = None,
@@ -87,34 +127,13 @@ def bfs_levels_blocked(
     schema = "v long, root long, level long"
     if len(pdf) == 0:
         return spark.createDataFrame([], schema)
-    s = pdf[SRC].to_numpy(np.int64)
-    d = pdf[DST].to_numpy(np.int64)
-    verts = np.unique(np.concatenate([s, d]))
+    verts, deg, rowptr, ci = build_local_csr(pdf)
     n = len(verts)
-    sc = np.searchsorted(verts, s)
-    dc = np.searchsorted(verts, d)
-    heads = np.concatenate([sc, dc])
-    tails = np.concatenate([dc, sc])
-    deg = np.bincount(heads, minlength=n)
-    rowptr = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(deg, out=rowptr[1:])
-    ci = tails[np.argsort(heads, kind="stable")]
     level = np.full(n, -1, dtype=np.int64)
     root = np.full(n, -1, dtype=np.int64)
 
     def expand(frontier: "np.ndarray") -> "np.ndarray":
-        starts = rowptr[frontier]
-        lens = rowptr[frontier + 1] - starts
-        tot = int(lens.sum())
-        if tot == 0:
-            return np.empty(0, dtype=np.int64)
-        offs = (
-            np.arange(tot, dtype=np.int64)
-            - np.repeat(np.cumsum(lens) - lens, lens)
-            + np.repeat(starts, lens)
-        )
-        nbrs = ci[offs]
-        return np.unique(nbrs[level[nbrs] < 0])
+        return csr_expand_unvisited(rowptr, ci, frontier, level >= 0)
 
     if roots is None:
         # components: min-label gather per round + pointer jumping — the
@@ -207,6 +226,8 @@ def bfs_levels(
         tier = choose_iterative_tier(ce, assume_canonical=True)
     if tier == "blocked":
         return bfs_levels_blocked(ce, roots=roots, assume_canonical=True)
+    if tier != "shuffle":
+        raise ValueError(f"unknown tier {tier!r}")
     # joined every level — persist once (see pagerank.py note)
     sym = symmetrize(ce).persist(StorageLevel.MEMORY_AND_DISK)
     verts = (

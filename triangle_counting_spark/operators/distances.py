@@ -67,24 +67,16 @@ def _sampled_distances_blocked(ce: DataFrame, roots: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from .bfs import build_local_csr, csr_expand_unvisited
+
     spark = ce.sparkSession
     schema = "root long, v long, dist long"
     pdf = ce.select(SRC, DST).toPandas()
     if len(pdf) == 0:
         return spark.createDataFrame([], schema)
     root_ids = np.array(sorted(r["v"] for r in roots.collect()), dtype=np.int64)
-    s = pdf[SRC].to_numpy(np.int64)
-    d = pdf[DST].to_numpy(np.int64)
-    verts = np.unique(np.concatenate([s, d]))
+    verts, _deg, rowptr, ci = build_local_csr(pdf)
     n = len(verts)
-    sc = np.searchsorted(verts, s)
-    dc = np.searchsorted(verts, d)
-    heads = np.concatenate([sc, dc])
-    tails = np.concatenate([dc, sc])
-    deg = np.bincount(heads, minlength=n)
-    rowptr = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(deg, out=rowptr[1:])
-    ci = tails[np.argsort(heads, kind="stable")]
 
     frames = []
     for root in root_ids:
@@ -97,18 +89,7 @@ def _sampled_distances_blocked(ce: DataFrame, roots: DataFrame) -> DataFrame:
         lvl = 0
         while len(frontier):
             lvl += 1
-            starts = rowptr[frontier]
-            lens = rowptr[frontier + 1] - starts
-            tot = int(lens.sum())
-            if tot == 0:
-                break
-            offs = (
-                np.arange(tot, dtype=np.int64)
-                - np.repeat(np.cumsum(lens) - lens, lens)
-                + np.repeat(starts, lens)
-            )
-            nbrs = np.unique(ci[offs])
-            new = nbrs[dist[nbrs] < 0]
+            new = csr_expand_unvisited(rowptr, ci, frontier, dist >= 0)
             if not len(new):
                 break
             dist[new] = lvl
@@ -198,8 +179,15 @@ def sssp(
         .where(F.col(SRC) != F.col(DST))
         .where(F.col(SRC).isNotNull() & F.col(DST).isNotNull())
     )
-    if ce.where(F.col("_w") <= 0).limit(1).count() > 0:
-        raise ValueError("sssp requires strictly positive edge weights")
+    # NOT(w > 0) catches w <= 0 AND NULL AND NaN (NULL > 0 is NULL, and
+    # Spark orders NaN above every number so NaN > 0 is true — test NaN
+    # explicitly); a single NULL/NaN weight reaching the numpy kernel
+    # would poison every distance it touches
+    bad = F.col("_w").isNull() | F.isnan("_w") | (F.col("_w") <= 0)
+    if ce.where(bad).limit(1).count() > 0:
+        raise ValueError(
+            "sssp requires strictly positive, non-null, non-NaN edge weights"
+        )
     sym = ce.union(
         ce.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), F.col("_w"))
     )
@@ -213,7 +201,11 @@ def sssp(
     if tier == "auto":
         from ..plans.planner import choose_iterative_tier
 
-        tier = choose_iterative_tier(ce.select(SRC, DST), assume_canonical=True)
+        # the tier statistic wants the CANONICAL edge count — the raw
+        # weighted table may carry both directions / duplicate rows, and
+        # claiming assume_canonical over it would inflate m up to 2x and
+        # misroute graphs near the cutoff
+        tier = choose_iterative_tier(canonical_edges(ce.select(SRC, DST)))
     if tier == "blocked":
         return _sssp_blocked(sym, int(root))
     if tier != "shuffle":
@@ -243,8 +235,9 @@ def _sssp_blocked(sym: DataFrame, root: int) -> DataFrame:
         return spark.createDataFrame([(root, 0.0)], schema)
     dist[seed] = 0.0
     # synchronous Bellman-Ford rounds: one vectorized scatter per round;
-    # terminates in hop-diameter rounds on positive weights
-    while True:
+    # converges within hop-diameter < n rounds on positive weights — the
+    # explicit n-round bound keeps even a pathological input from spinning
+    for _ in range(n):
         cand = dist[sc] + w
         new = dist.copy()
         np.minimum.at(new, dc, cand)

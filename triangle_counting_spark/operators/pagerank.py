@@ -128,7 +128,17 @@ def pagerank(
         seeds = personalized_for.select(
             F.col(personalized_for.columns[0]).cast("long").alias("v")
         ).distinct()
-        n_seeds = seeds.count()
+        r_seed = seeds.agg(
+            F.count(F.lit(1)).alias("n"),
+            # order-insensitive content digest — goes into the checkpoint
+            # fingerprint so a resume with a DIFFERENT seed set can never
+            # silently restore this run's state (the list form already
+            # embeds the sorted seeds; the DataFrame form needs this).
+            # bit_xor, not sum: xor cannot overflow under ANSI mode
+            F.coalesce(F.bit_xor(F.xxhash64("v")), F.lit(0)).alias("digest"),
+        ).collect()[0]
+        n_seeds = int(r_seed["n"])
+        seed_digest = int(r_seed["digest"])
         if n_seeds == 0:
             raise ValueError("personalized_for must be a non-empty vertex set")
         base = base.join(
@@ -204,7 +214,7 @@ def pagerank(
         fingerprint=(
             f"pagerank|d={damping}|tol={tol}|n={n}|directed={directed}"
             f"|weighted={weight_col is not None}"
-            f"|ppr={'df' if isinstance(personalized_for, DataFrame) else (sorted(personalized_for) if personalized_for else None)}"
+            f"|ppr={f'df:n={n_seeds}:digest={seed_digest}' if isinstance(personalized_for, DataFrame) else (sorted(personalized_for) if personalized_for else None)}"
         ),
         resume=resume,
     )

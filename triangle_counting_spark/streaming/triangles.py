@@ -10,9 +10,12 @@ triangle count, paying |Δ|·deg per micro-batch instead of recounting G.
 State layout under ``state_dir`` (all plain parquet — resumable, and the
 edge log doubles as the batch-queryable graph table):
 
-    edges/   append-only canonical NEW edges (duplicates of already-seen
-             edges are dropped before writing, so the log IS the edge set)
-    counts/  one row per micro-batch: (batch_id, added, total)
+    edges/batch=<id>/   canonical NEW edges per micro-batch (dupes of
+             already-seen edges dropped, so the union IS the edge set);
+             per-batch dirs are OVERWRITTEN on at-least-once replay —
+             every write is idempotent, so a crash between the two writes
+             cannot corrupt the ledger
+    counts/batch=<id>/  one row per micro-batch: (batch_id, added, total)
 
 Invariant after every micro-batch: ``total`` equals
 ``triangle_count(read(edges/))`` — asserted end-to-end in tests.
@@ -31,11 +34,19 @@ from ..operators.triangles import triangle_count, triangle_count_delta
 _EDGE_SCHEMA = "src long, dst long"
 
 
-def _read_edges(spark, path: str) -> DataFrame | None:
+def _read_edges(spark, path: str, before_batch: int | None = None) -> DataFrame | None:
+    """Accumulated edge log (hive-partitioned by batch). ``before_batch``
+    excludes partitions >= that id — on an at-least-once REPLAY of batch i,
+    a crashed previous attempt may have left edges/batch=i behind, and the
+    replay must recompute against exactly the pre-i state."""
     try:
-        df = spark.read.schema(_EDGE_SCHEMA).parquet(path)
+        df = spark.read.option("basePath", path).parquet(path)
+        if before_batch is not None:
+            df = df.where(F.col("batch") < int(before_batch))
+        df = df.select(SRC, DST)
         # cheap existence probe: an unreadable/empty dir raises on read
-        df.limit(1).collect()
+        if df.limit(1).count() == 0:
+            return None
         return df
     except Exception:  # noqa: BLE001 — first batch, nothing accumulated yet
         return None
@@ -56,9 +67,17 @@ def make_triangle_maintainer(state_dir: str):
     counts_path = os.path.join(state_dir, "counts")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # CRASH-SAFETY: foreachBatch is at-least-once, so every write here
+        # is a deterministic per-batch OVERWRITE (edges/batch=<id>/,
+        # counts/batch=<id>/), and every read excludes this batch's own
+        # partitions. A replay after a crash at ANY point recomputes the
+        # identical delta/added from the pre-batch state and overwrites the
+        # same directories — the ledger invariant
+        # total == tc(edges up to batch) survives arbitrary crash points.
         spark = batch_df.sparkSession
+        bid = int(batch_id)
         delta = canonical_edges(batch_df.select(SRC, DST))
-        existing = _read_edges(spark, edges_path)
+        existing = _read_edges(spark, edges_path, before_batch=bid)
         prev_total = 0
         if existing is None:
             new_edges = delta
@@ -70,7 +89,9 @@ def make_triangle_maintainer(state_dir: str):
         else:
             try:
                 prev_total = int(
-                    spark.read.parquet(counts_path)
+                    spark.read.option("basePath", counts_path)
+                    .parquet(counts_path)
+                    .where(F.col("batch") < bid)
                     .agg(F.max_by("total", "batch_id"))
                     .collect()[0][0]
                 )
@@ -86,29 +107,37 @@ def make_triangle_maintainer(state_dir: str):
                         "triangles_added"
                     ]
                 )
-        new_edges.write.mode("append").parquet(edges_path)
+        new_edges.select(SRC, DST).write.mode("overwrite").parquet(
+            os.path.join(edges_path, f"batch={bid}")
+        )
         spark.createDataFrame(
-            [(int(batch_id), added, prev_total + added)],
+            [(bid, added, prev_total + added)],
             "batch_id long, added long, total long",
-        ).write.mode("append").parquet(counts_path)
+        ).write.mode("overwrite").parquet(os.path.join(counts_path, f"batch={bid}"))
 
     return process
 
 
-def streaming_triangle_count(edge_stream: DataFrame, state_dir: str):
+def streaming_triangle_count(
+    edge_stream: DataFrame, state_dir: str, trigger: dict | None = None
+):
     """Attach the triangle maintainer to a STREAMING (src, dst) DataFrame.
 
     Returns the started StreamingQuery. The running count lives in
     ``state_dir/counts`` (latest row by batch_id = current exact total);
     the accumulated graph in ``state_dir/edges`` is a normal parquet table
     every batch operator can query mid-stream.
+
+    ``trigger``: kwargs for ``writeStream.trigger`` — None (default) keeps
+    Spark's continuous micro-batching so the query keeps consuming a live
+    stream; the demo passes ``{"availableNow": True}`` to drain-and-stop.
     """
-    return (
-        edge_stream.writeStream.foreachBatch(make_triangle_maintainer(state_dir))
-        .option("checkpointLocation", os.path.join(state_dir, "ck"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    w = edge_stream.writeStream.foreachBatch(
+        make_triangle_maintainer(state_dir)
+    ).option("checkpointLocation", os.path.join(state_dir, "ck"))
+    if trigger:
+        w = w.trigger(**trigger)
+    return w.start()
 
 
 def run_triangle_stream_demo(
@@ -132,7 +161,7 @@ def run_triangle_stream_demo(
         .option("maxFilesPerTrigger", 1)
         .parquet(staged)
     )
-    q = streaming_triangle_count(stream, state_dir)
+    q = streaming_triangle_count(stream, state_dir, trigger={"availableNow": True})
     q.awaitTermination(timeout_sec)
     if q.isActive:
         q.stop()
