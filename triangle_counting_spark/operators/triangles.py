@@ -692,7 +692,7 @@ def _count_level(edges: DataFrame) -> DataFrame:
         # tier picked by the same memory statistics the planner uses
         # (NOT "auto": auto may recurse into "level")
         m_h = horiz.count()
-        from ..plans.planner import BCAST_MAX_EDGES, SMALL_GRAPH_EDGES
+        from ..plans.planner import SMALL_GRAPH_EDGES, bcast_max_edges
 
         if m_h == 0:
             c2 = 0
@@ -700,7 +700,11 @@ def _count_level(edges: DataFrame) -> DataFrame:
             g0_strategy = (
                 "sql"
                 if m_h < SMALL_GRAPH_EDGES
-                else ("bcast" if m_h <= BCAST_MAX_EDGES else "part")
+                else (
+                    "bcast"
+                    if m_h <= bcast_max_edges(horiz.sparkSession)
+                    else "part"
+                )
             )
             c2 = int(
                 triangle_count(horiz, g0_strategy, assume_canonical=True)

@@ -35,8 +35,35 @@ from pyspark.sql import DataFrame
 from ..operators.orientation import canonical_edges
 
 SMALL_GRAPH_EDGES = 100_000  # the reference's recursion/hybrid base, tc.h:43
-BCAST_MAX_EDGES = 20_000_000  # oriented CSR ≈ 16 B/edge → ~330 MB broadcast
+BCAST_MAX_EDGES = 20_000_000  # conservative FLOOR: CSR ≈ 16 B/edge → ~330 MB
+BCAST_HARD_CAP_EDGES = 256_000_000  # ~4 GB CSR — past this, always shuffle
 K_CUTOVER = 0.7  # tc.c:1904
+
+
+def bcast_max_edges(spark) -> int:
+    """Memory-derived broadcast-tier cutoff, the honest cluster model: the
+    CSR must fit the smallest executor, so the cutoff is a budget fraction
+    of available memory over 16 B/edge — not a fixed magic number (r3:
+    RMAT-21 measured bcast 2.0x faster than the shuffled "part" tier, but
+    a fixed 20M-edge cutoff routed it away from bcast on a 128 GiB box).
+
+    Resolution order: explicit ``spark.tcs.bcastMaxEdges`` conf override →
+    10% of the JVM max heap (the proxy for per-node memory; local mode =
+    the whole box) / 16 B, clamped to [20M floor, 256M hard cap]. On a
+    real cluster set the conf from the executor memory you provision.
+    """
+    try:
+        override = spark.conf.get("spark.tcs.bcastMaxEdges", None)
+        if override is not None:
+            return int(override)
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        heap = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+    except Exception:  # noqa: BLE001 — connect-mode / no JVM handle
+        return BCAST_MAX_EDGES
+    derived = (heap // 10) // 16
+    return max(BCAST_MAX_EDGES, min(derived, BCAST_HARD_CAP_EDGES))
 
 
 @dataclass
@@ -49,28 +76,33 @@ class PlanChoice:
 
 def choose_iterative_tier(
     edges: DataFrame,
-    blocked_max_edges: int = BCAST_MAX_EDGES,
+    blocked_max_edges: int | None = None,
     assume_canonical: bool = False,
 ) -> str:
     """"blocked" (CSR-in-memory broadcast tier) while the graph fits a
     driver/executor vector, else "shuffle" — the same memory-fit statistic
     the triangle planner uses, applied to PageRank/CC/label propagation so
-    callers don't have to self-select the tier."""
+    callers don't have to self-select the tier. Default cutoff is the
+    memory-derived :func:`bcast_max_edges`."""
     ce = edges if assume_canonical else canonical_edges(edges)
     m = ce.count()
+    if blocked_max_edges is None:
+        blocked_max_edges = bcast_max_edges(ce.sparkSession)
     return "blocked" if m <= blocked_max_edges else "shuffle"
 
 
 def choose_triangle_strategy(
     edges: DataFrame,
     small_edges: int = SMALL_GRAPH_EDGES,
-    bcast_max: int = BCAST_MAX_EDGES,
+    bcast_max: int | None = None,
     k_cutover: float = K_CUTOVER,
     assume_canonical: bool = False,
 ) -> PlanChoice:
     """Pick a triangle strategy from graph statistics (cheapest first)."""
     ce = edges if assume_canonical else canonical_edges(edges)
     m = ce.count()
+    if bcast_max is None:
+        bcast_max = bcast_max_edges(ce.sparkSession)
     if m < small_edges:
         return PlanChoice("sql", m, None, f"m={m} < {small_edges} (tc.h:43 base)")
     if m <= bcast_max:
