@@ -582,6 +582,20 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(_edges(spark, sf_dir), min_common=20)
 
 
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the engine's own LP-3it communities — the
+    quality metric composed over the label_propagation gate's exact
+    labels (so the oracle replays the unrolled LP CTEs, then the Q
+    formula)."""
+    from triangle_counting_spark.operators.labelprop import (
+        label_propagation_fixed,
+        modularity,
+    )
+
+    e = _edges(spark, sf_dir)
+    return modularity(e, label_propagation_fixed(e, LP_ITERS))
+
+
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from triangle_counting_spark.operators.stats import degree_assortativity
 
@@ -847,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": q_sssp,
         "assortativity": q_assortativity,
         "power_law_alpha": q_power_law_alpha,
+        "modularity": q_modularity,
         "link_prediction": q_link_prediction,
         "heavy_light_edges": q_heavy_light_edges,
         "dedup_exact": q_dedup_exact,
@@ -1250,6 +1265,32 @@ FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE c / (sa.sz + sb.sz - c) >= {JACCARD_MIN}""",
         "simhash_neardup": _simhash_sql(bits=60, max_hamming=3),
     }
+    # modularity: replay the unrolled LP rounds, then Q over the labels
+    _lp_body = _labelprop_sql()
+    _lp_ctes = _lp_body[len("WITH "):_lp_body.rindex("\nSELECT")]
+    out["modularity"] = (
+        "WITH "
+        + _lp_ctes
+        + f""",
+lab AS (SELECT v, label FROM l{LP_ITERS}),
+inside AS (
+  SELECT la.label AS c, COUNT(*)::DOUBLE AS ec
+  FROM edges
+  JOIN lab la ON edges.src = la.v
+  JOIN lab lb ON edges.dst = lb.v
+  WHERE la.label = lb.label GROUP BY 1
+),
+degsum AS (
+  SELECT lab.label AS c, SUM(deg.degree)::DOUBLE AS dc
+  FROM deg JOIN lab ON deg.v = lab.v GROUP BY 1
+),
+params AS (SELECT COUNT(*)::DOUBLE AS m FROM edges)
+SELECT ROUND(SUM(
+  COALESCE(inside.ec, 0) / (SELECT m FROM params)
+  - POWER(degsum.dc / (2 * (SELECT m FROM params)), 2)
+), 6) AS modularity
+FROM degsum LEFT JOIN inside ON inside.c = degsum.c"""
+    )
     out["assortativity"] = (
         "WITH "
         + EDGES_CTE

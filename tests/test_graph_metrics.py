@@ -69,3 +69,54 @@ def test_power_law_alpha_on_zipf_fixture(spark):
     # plausible exponent band, not a degenerate value
     assert 1.2 < row.alpha < 5.0
     assert row.n_tail > 100
+
+
+def _labels(spark, pairs):
+    return spark.createDataFrame([(int(v), int(c)) for v, c in pairs], "v long, label long")
+
+
+def test_modularity_two_triangles_split(spark):
+    from triangle_counting_spark.operators.labelprop import modularity
+
+    e = make_edges(spark, [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)])
+    lab = _labels(spark, [(v, 0 if v < 3 else 1) for v in range(6)])
+    q = modularity(e, lab).collect()[0].modularity
+    # each community: e_c/m = 3/6, (d_c/2m)^2 = (6/12)^2 -> Q = 2*(0.5-0.25)
+    assert q == pytest.approx(0.5, abs=1e-6)
+
+
+def test_modularity_single_community_is_zero(spark):
+    from triangle_counting_spark.operators.labelprop import modularity
+
+    e = make_edges(spark, [(0, 1), (1, 2), (0, 2)])
+    lab = _labels(spark, [(v, 7) for v in range(3)])
+    assert modularity(e, lab).collect()[0].modularity == pytest.approx(0.0, abs=1e-6)
+
+
+def test_modularity_matches_python(spark):
+    import random
+
+    from triangle_counting_spark.operators.labelprop import modularity
+
+    rng = random.Random(23)
+    edges = sorted({tuple(sorted(rng.sample(range(12), 2))) for _ in range(25)})
+    labels = {v: rng.randint(0, 2) for v in range(12)}
+    m = len(edges)
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    from collections import defaultdict
+
+    ec: dict[int, int] = defaultdict(int)
+    dc: dict[int, int] = defaultdict(int)
+    for a, b in edges:
+        if labels[a] == labels[b]:
+            ec[labels[a]] += 1
+    for v, d in deg.items():
+        dc[labels[v]] += d
+    want = sum(ec[c] / m - (dc[c] / (2 * m)) ** 2 for c in dc)
+    got = modularity(
+        make_edges(spark, edges), _labels(spark, labels.items())
+    ).collect()[0].modularity
+    assert got == pytest.approx(want, abs=2e-6)

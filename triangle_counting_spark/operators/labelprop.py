@@ -227,3 +227,43 @@ def label_propagation_fixed(
     res = label_propagation(edges, max_iter=iterations, weight_col=weight_col)
     # loop stops early only on convergence, which is also deterministic
     return res.state
+
+
+def modularity(
+    edges: DataFrame, assignments: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """One row ``(modularity)`` — Newman's Q for a community assignment:
+    Q = Σ_c [ e_c/m − (d_c/2m)² ] with e_c = intra-community edge count
+    and d_c = community degree sum. The quality score for the engine's
+    own label-propagation output (or any (v, label) table). Three
+    broadcastable joins + one aggregate; round 6 for oracle parity.
+    """
+    from .orientation import canonical_edges, degrees
+
+    ce = canonical_edges(edges)
+    m = ce.count()
+    if m == 0:
+        return ce.sparkSession.createDataFrame([(0.0,)], "modularity double")
+    lab = assignments.select(
+        F.col("v").cast("long").alias("v"), F.col(label_col).alias("_c")
+    )
+    inside = (
+        ce.join(lab.select(F.col("v").alias(SRC), F.col("_c").alias("_ca")), SRC)
+        .join(lab.select(F.col("v").alias(DST), F.col("_c").alias("_cb")), DST)
+        .where(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("_c"))
+        .agg(F.count(F.lit(1)).cast("double").alias("_ec"))
+    )
+    degsum = (
+        degrees(ce)
+        .join(lab, "v")
+        .groupBy("_c")
+        .agg(F.sum("degree").cast("double").alias("_dc"))
+    )
+    per_c = degsum.join(inside, "_c", "left").select(
+        (
+            F.coalesce("_ec", F.lit(0.0)) / F.lit(float(m))
+            - F.pow(F.col("_dc") / F.lit(2.0 * m), F.lit(2.0))
+        ).alias("_q")
+    )
+    return per_c.agg(F.round(F.sum("_q"), 6).alias("modularity"))
