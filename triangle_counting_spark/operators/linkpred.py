@@ -58,18 +58,22 @@ def link_prediction(
         .where(F.col("u") < F.col("v"))
         .join(centers.select(F.col("v").alias("w"), "degree"), "w")
     )
-    open_wedge = wedge.join(
-        ce.select(F.col(SRC).alias("u"), F.col(DST).alias("v")),
-        ["u", "v"],
-        "left_anti",
-    )
+    # aggregate FIRST, drop closed pairs after: the anti-join then probes
+    # |distinct pairs| rows instead of the full Σdeg² wedge stream (~13x
+    # fewer rows at sf0.01), and the aggregate itself gets map-side
+    # partial combining on the wedge stream
     scored = (
-        open_wedge.groupBy("u", "v")
+        wedge.groupBy("u", "v")
         .agg(
             F.count(F.lit(1)).alias("common"),
             F.sum(F.lit(1.0) / F.log(F.col("degree").cast("double"))).alias("_aa"),
         )
         .where(F.col("common") >= min_common)
+        .join(
+            ce.select(F.col(SRC).alias("u"), F.col(DST).alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
     )
     du = deg.select(F.col("v").alias("u"), F.col("degree").alias("_du"))
     dv = deg.select(F.col("v").alias("v"), F.col("degree").alias("_dv"))
