@@ -582,6 +582,15 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(_edges(spark, sf_dir), min_common=20)
 
 
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded uniform random walks (embedding-corpus generator) — the
+    md5-index step rule replays exactly in SQL, so the oracle checks every
+    visited vertex of every walk, not a distribution."""
+    from triangle_counting_spark.operators.walks import random_walks
+
+    return random_walks(_edges(spark, sf_dir), length=3, walks_per_vertex=1, seed=11)
+
+
 def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity Q of the engine's own LP-3it communities — the
     quality metric composed over the label_propagation gate's exact
@@ -862,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "power_law_alpha": q_power_law_alpha,
         "modularity": q_modularity,
+        "random_walks": q_random_walks,
         "link_prediction": q_link_prediction,
         "heavy_light_edges": q_heavy_light_edges,
         "dedup_exact": q_dedup_exact,
@@ -1290,6 +1300,35 @@ SELECT ROUND(SUM(
   - POWER(degsum.dc / (2 * (SELECT m FROM params)), 2)
 ), 6) AS modularity
 FROM degsum LEFT JOIN inside ON inside.c = degsum.c"""
+    )
+    out["random_walks"] = (
+        "WITH "
+        + EDGES_CTE
+        + """,
+adj AS (
+  SELECT src AS v, list(dst ORDER BY dst) AS nbrs, COUNT(*)::BIGINT AS deg
+  FROM sym GROUP BY src
+),
+w0 AS (SELECT v AS start_v, 0::BIGINT AS walk_ix, v FROM verts),
+w1 AS (
+  SELECT w0.start_v, w0.walk_ix,
+         adj.nbrs[((((('0x' || substr(md5(w0.start_v || '_' || w0.walk_ix || '_1_11'), 1, 8))::BIGINT) % adj.deg) + 1))::INT] AS v
+  FROM w0 JOIN adj ON adj.v = w0.v
+),
+w2 AS (
+  SELECT w1.start_v, w1.walk_ix,
+         adj.nbrs[((((('0x' || substr(md5(w1.start_v || '_' || w1.walk_ix || '_2_11'), 1, 8))::BIGINT) % adj.deg) + 1))::INT] AS v
+  FROM w1 JOIN adj ON adj.v = w1.v
+),
+w3 AS (
+  SELECT w2.start_v, w2.walk_ix,
+         adj.nbrs[((((('0x' || substr(md5(w2.start_v || '_' || w2.walk_ix || '_3_11'), 1, 8))::BIGINT) % adj.deg) + 1))::INT] AS v
+  FROM w2 JOIN adj ON adj.v = w2.v
+)
+SELECT start_v, walk_ix, 0::BIGINT AS step, v FROM w0
+UNION ALL SELECT start_v, walk_ix, 1::BIGINT, v FROM w1
+UNION ALL SELECT start_v, walk_ix, 2::BIGINT, v FROM w2
+UNION ALL SELECT start_v, walk_ix, 3::BIGINT, v FROM w3"""
     )
     out["assortativity"] = (
         "WITH "
