@@ -591,6 +591,19 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(_edges(spark, sf_dir), length=3, walks_per_vertex=1, seed=11)
 
 
+def q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context, offset) pairs over the seeded walks —
+    the embedding-training corpus output; oracle composes the walk CTEs
+    with the same windowed self-join."""
+    from triangle_counting_spark.operators.walks import (
+        random_walks,
+        walk_skipgram_pairs,
+    )
+
+    walks = random_walks(_edges(spark, sf_dir), length=3, walks_per_vertex=1, seed=11)
+    return walk_skipgram_pairs(walks, window=2)
+
+
 def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity Q of the engine's own LP-3it communities — the
     quality metric composed over the label_propagation gate's exact
@@ -872,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "power_law_alpha": q_power_law_alpha,
         "modularity": q_modularity,
         "random_walks": q_random_walks,
+        "walk_skipgrams": q_walk_skipgrams,
         "link_prediction": q_link_prediction,
         "heavy_light_edges": q_heavy_light_edges,
         "dedup_exact": q_dedup_exact,
@@ -1329,6 +1343,14 @@ SELECT start_v, walk_ix, 0::BIGINT AS step, v FROM w0
 UNION ALL SELECT start_v, walk_ix, 1::BIGINT, v FROM w1
 UNION ALL SELECT start_v, walk_ix, 2::BIGINT, v FROM w2
 UNION ALL SELECT start_v, walk_ix, 3::BIGINT, v FROM w3"""
+    )
+    _walks_sql = out["random_walks"]
+    out["walk_skipgrams"] = (
+        "WITH allw AS (" + _walks_sql + """)
+SELECT a.v AS center, b.v AS context, (b.step - a.step)::BIGINT AS offset
+FROM allw a JOIN allw b
+  ON a.start_v = b.start_v AND a.walk_ix = b.walk_ix
+WHERE a.step != b.step AND abs(a.step - b.step) <= 2 AND a.v != b.v"""
     )
     out["assortativity"] = (
         "WITH "

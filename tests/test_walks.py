@@ -71,3 +71,26 @@ def test_walk_row_count(spark):
     n_verts = 5
     out = random_walks(e, length=3, walks_per_vertex=2, seed=1)
     assert out.count() == n_verts * 2 * 4  # (L+1) rows per walk
+
+
+def test_skipgram_pairs_match_python(spark):
+    from triangle_counting_spark.operators.walks import walk_skipgram_pairs
+
+    e = make_edges(spark, EDGES)
+    walks = random_walks(e, length=4, walks_per_vertex=1, seed=5)
+    rows = walks.collect()
+    by_walk: dict = {}
+    for r in rows:
+        by_walk.setdefault((r.start_v, r.walk_ix), {})[r.step] = r.v
+    want = []
+    for path in by_walk.values():
+        for sa, ca in path.items():
+            for sb, cb in path.items():
+                if sa != sb and abs(sa - sb) <= 2 and ca != cb:
+                    want.append((ca, cb, sb - sa))
+    got = [
+        (r.center, r.context, r.offset)
+        for r in walk_skipgram_pairs(walks, window=2).collect()
+    ]
+    assert sorted(got) == sorted(want)
+    assert all(0 < abs(o) <= 2 for _, _, o in got)

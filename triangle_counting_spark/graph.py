@@ -134,6 +134,29 @@ class Graph:
         e = self.edges.select(SRC, DST, F.lit(1.0).alias("weight"))
         return sssp(e, root=root, tier=tier)
 
+    def random_walks(
+        self, length: int = 4, walks_per_vertex: int = 1, seed: int = 11
+    ) -> DataFrame:
+        from .operators.walks import random_walks
+
+        return random_walks(
+            self.edges, length=length, walks_per_vertex=walks_per_vertex, seed=seed
+        )
+
+    def modularity(self, assignments: DataFrame, label_col: str = "label") -> float:
+        from .operators.labelprop import modularity
+
+        return float(
+            modularity(self.edges, assignments, label_col=label_col)
+            .collect()[0]["modularity"]
+        )
+
+    def assortativity(self) -> float | None:
+        from .operators.stats import degree_assortativity
+
+        r = degree_assortativity(self.edges).collect()[0]["assortativity"]
+        return None if r is None else float(r)
+
     def link_prediction(
         self, min_common: int = 1, max_center_degree: int | None = None
     ) -> DataFrame:

@@ -96,3 +96,40 @@ def random_walks(
     out = out.localCheckpoint(eager=True)
     adj.unpersist()
     return out
+
+
+def walk_skipgram_pairs(
+    walks: DataFrame, window: int = 2, drop_self: bool = True
+) -> DataFrame:
+    """(center, context, offset) — skip-gram training pairs within
+    ``window`` steps along each walk (the word2vec-style output an
+    embedding trainer consumes). One self-equi-join on the walk id with a
+    bounded |step offset| predicate — row-based, AQE-splittable; pair
+    volume = walks · L · 2·window.
+
+    ``drop_self``: drop pairs where center == context vertex (a walk can
+    revisit); keep them for unigram-frequency parity with word2vec.
+    """
+    a = walks.select(
+        F.col("start_v"), F.col("walk_ix"),
+        F.col("step").alias("_sa"), F.col("v").alias("center"),
+    )
+    b = walks.select(
+        F.col("start_v"), F.col("walk_ix"),
+        F.col("step").alias("_sb"), F.col("v").alias("context"),
+    )
+    pairs = (
+        a.join(b, ["start_v", "walk_ix"])
+        .where(
+            (F.col("_sa") != F.col("_sb"))
+            & (F.abs(F.col("_sa") - F.col("_sb")) <= window)
+        )
+        .select(
+            "center",
+            "context",
+            (F.col("_sb") - F.col("_sa")).alias("offset"),
+        )
+    )
+    if drop_self:
+        pairs = pairs.where(F.col("center") != F.col("context"))
+    return pairs
