@@ -702,6 +702,30 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=TOPK_K)
 
 
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token vocabulary with document frequencies (min_count=2)."""
+    from triangle_counting_spark.functions.text import token_vocabulary
+
+    return token_vocabulary(_t(spark, sf_dir, "documents"), min_count=2)
+
+
+def q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word-bigram counts (min_count=3) — pure JVM sliding-window
+    expression; oracle rebuilds the bigrams from split positions."""
+    from triangle_counting_spark.functions.text import ngram_vocabulary
+
+    return ngram_vocabulary(_t(spark, sf_dir, "documents"), n=2, min_count=3)
+
+
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events table (30-min gap) — epochs
+    floored to seconds on both sides (epoch_ms // 1000 in the oracle
+    matches Spark's timestamp->long truncation)."""
+    from triangle_counting_spark.functions.events import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from triangle_counting_spark.functions.events import hourly_event_stats
 
@@ -896,6 +920,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "similarity_topk": q_similarity_topk,
         "events_window": q_events_window,
+        "sessions": q_sessions,
+        "vocabulary": q_vocabulary,
+        "bigrams": q_bigrams,
         "sqrt_n_fraction": q_sqrt_n_fraction,
         "degree_histogram": q_degree_histogram,
         "clustering_coefficient": q_clustering,
@@ -1092,6 +1119,46 @@ FROM documents""",
         "lsh_topk": _TOPK_SQL,
         # exhaustive-probe IVF config (see q_ivf_topk) -> brute-force oracle
         "ivf_topk": _TOPK_SQL,
+        "vocabulary": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, COUNT(*)::BIGINT AS n_occurrences,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+FROM tok WHERE token != '' GROUP BY token HAVING COUNT(*) >= 2""",
+        "bigrams": """
+WITH words AS (
+  SELECT doc_id, w.word, w.pos
+  FROM documents,
+       LATERAL (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word,
+                       generate_subscripts(list_filter(string_split(text, ' '), x -> x != ''), 1) AS pos) w
+),
+grams AS (
+  SELECT a.word || ' ' || b.word AS ngram
+  FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+)
+SELECT ngram, COUNT(*)::BIGINT AS n_occurrences
+FROM grams GROUP BY ngram HAVING COUNT(*) >= 3""",
+        "sessions": """
+WITH lagged AS (
+  SELECT user_id, ts, event_id, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id, value,
+         SUM(CASE WHEN prev IS NULL
+                   OR (epoch_ms(ts) // 1000 - epoch_ms(prev) // 1000) > 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_ix
+  FROM lagged
+)
+SELECT user_id, session_ix,
+       MIN(epoch_ms(ts) // 1000)::BIGINT AS session_start_epoch,
+       MAX(epoch_ms(ts) // 1000)::BIGINT AS session_end_epoch,
+       COUNT(*)::BIGINT AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM flagged GROUP BY 1, 2""",
         "events_window": """
 SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
        event_type,

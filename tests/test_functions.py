@@ -134,3 +134,49 @@ def test_neardup_clusters_transitive(spark):
     }
     assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
     assert got[4] == (4, 1)  # singleton keeps itself
+
+
+def test_sessionize_gap_splits(spark):
+    from triangle_counting_spark.functions.events import sessionize
+
+    rows = [
+        # user 1: two sessions split by a 2-hour gap
+        (0, "2024-01-01 10:00:00", 1, 1.0),
+        (1, "2024-01-01 10:10:00", 1, 2.0),
+        (2, "2024-01-01 12:30:00", 1, 4.0),
+        # user 2: one session
+        (3, "2024-01-01 09:00:00", 2, 8.0),
+        (4, "2024-01-01 09:29:00", 2, 16.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r.user_id, r.session_ix): (r.n_events, r.sum_value)
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    assert out == {(1, 1): (2, 3.0), (1, 2): (1, 4.0), (2, 1): (2, 24.0)}
+
+
+def test_token_vocabulary(spark):
+    from triangle_counting_spark.functions.text import token_vocabulary
+
+    docs2 = spark.createDataFrame(
+        [(0, "a b a"), (1, "b  c"), (2, "")], "doc_id long, text string"
+    )
+    out = {r.token: (r.n_occurrences, r.n_docs) for r in token_vocabulary(docs2).collect()}
+    assert out == {"a": (2, 1), "b": (2, 2), "c": (1, 1)}
+    pruned = {r.token for r in token_vocabulary(docs2, min_count=2).collect()}
+    assert pruned == {"a", "b"}
+
+
+def test_ngram_vocabulary(spark):
+    from triangle_counting_spark.functions.text import ngram_vocabulary
+
+    docs2 = spark.createDataFrame(
+        [(0, "a b c"), (1, "b c"), (2, "x"), (3, "")], "doc_id long, text string"
+    )
+    out = {r.ngram: r.n_occurrences for r in ngram_vocabulary(docs2, n=2).collect()}
+    assert out == {"a b": 1, "b c": 2}
+    tri = {r.ngram: r.n_occurrences for r in ngram_vocabulary(docs2, n=3).collect()}
+    assert tri == {"a b c": 1}

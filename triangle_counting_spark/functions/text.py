@@ -97,3 +97,56 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return docs.select(
         F.col(id_col).cast("long").alias("doc_id"), F.xxhash64(norm).alias("fp")
     )
+
+
+def token_vocabulary(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """(token, n_occurrences, n_docs) — the corpus vocabulary with
+    document frequencies, the tokenizer-training / df-filter input. One
+    explode + one aggregate (map-side combined); whitespace tokens match
+    the per-doc ``token_counts`` convention. ``min_count`` prunes the
+    long tail before the result materializes."""
+    tok = docs.select(
+        F.col("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") >= min_count)
+    )
+
+
+def ngram_vocabulary(
+    docs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """(ngram, n_occurrences) — word n-gram counts across the corpus
+    (language-model / collocation statistics). The n-gram expansion is a
+    pure JVM expression: transform over a sliding index sequence +
+    array_join — no Python, no UDF."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    idx_hi = F.size(words) - n
+    # guard short docs: Spark's sequence(0, -1) is a DESCENDING sequence,
+    # not empty — emit an empty array when there is no full n-gram
+    grams = F.when(
+        idx_hi >= 0,
+        F.transform(
+            F.sequence(F.lit(0), idx_hi),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_count)
+    )
