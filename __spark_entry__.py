@@ -702,6 +702,14 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=TOPK_K)
 
 
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smooth-idf TF-IDF weights, min_df=3 to bound rows; full SQL replay
+    (float discipline: round 6 after identical ln/div formulas)."""
+    from triangle_counting_spark.functions.text import tf_idf
+
+    return tf_idf(_t(spark, sf_dir, "documents"), min_df=3)
+
+
 def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token vocabulary with document frequencies (min_count=2)."""
     from triangle_counting_spark.functions.text import token_vocabulary
@@ -922,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "sessions": q_sessions,
         "vocabulary": q_vocabulary,
+        "tf_idf": q_tf_idf,
         "bigrams": q_bigrams,
         "sqrt_n_fraction": q_sqrt_n_fraction,
         "degree_histogram": q_degree_histogram,
@@ -1119,6 +1128,23 @@ FROM documents""",
         "lsh_topk": _TOPK_SQL,
         # exhaustive-probe IVF config (see q_ivf_topk) -> brute-force oracle
         "ivf_topk": _TOPK_SQL,
+        "tf_idf": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*)::BIGINT AS n
+  FROM tok WHERE token != '' GROUP BY 1, 2
+),
+doclen AS (SELECT doc_id, SUM(n) AS len FROM tf GROUP BY 1),
+df AS (SELECT token, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1 HAVING COUNT(*) >= 3),
+params AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS nd FROM documents)
+SELECT tf.doc_id, tf.token,
+       ROUND(tf.n / doclen.len, 6) AS tf,
+       ROUND(LN((1.0 + (SELECT nd FROM params)) / (1.0 + df.df)) + 1.0, 6) AS idf,
+       ROUND((tf.n / doclen.len) * (LN((1.0 + (SELECT nd FROM params)) / (1.0 + df.df)) + 1.0), 6) AS tf_idf
+FROM tf JOIN doclen ON tf.doc_id = doclen.doc_id
+JOIN df ON tf.token = df.token""",
         "vocabulary": """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents

@@ -180,3 +180,22 @@ def test_ngram_vocabulary(spark):
     assert out == {"a b": 1, "b c": 2}
     tri = {r.ngram: r.n_occurrences for r in ngram_vocabulary(docs2, n=3).collect()}
     assert tri == {"a b c": 1}
+
+
+def test_tf_idf_closed_form(spark):
+    import math
+
+    from triangle_counting_spark.functions.text import tf_idf
+
+    docs2 = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c")], "doc_id long, text string"
+    )
+    out = {(r.doc_id, r.token): (r.tf, r.idf, r.tf_idf) for r in tf_idf(docs2).collect()}
+    # 'a' appears in both docs: idf = ln(3/3)+1 = 1
+    assert out[(0, "a")][0] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[(0, "a")][1] == pytest.approx(1.0, abs=1e-6)
+    # 'b' in one doc: idf = ln(3/2)+1
+    want_idf = math.log(3 / 2) + 1
+    assert out[(0, "b")][1] == pytest.approx(want_idf, abs=1e-6)
+    assert out[(0, "b")][2] == pytest.approx(want_idf / 3, abs=1e-6)
+    assert (1, "b") not in out

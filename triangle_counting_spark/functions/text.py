@@ -150,3 +150,40 @@ def ngram_vocabulary(
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .where(F.col("n_occurrences") >= min_count)
     )
+
+
+def tf_idf(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """(doc_id, token, tf, idf, tf_idf) — classic smooth-idf weighting:
+    tf = occurrences / doc tokens, idf = ln((1+N)/(1+df)) + 1 (the
+    sklearn convention). Two aggregates over one exploded token stream —
+    the document-frequency side is a broadcastable (token, df) table, so
+    the scoring join streams. ``min_df`` drops hapax noise."""
+    tok = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    n_docs = docs.select(F.countDistinct(id_col)).collect()[0][0]
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("_n"))
+    doclen = tf.groupBy("doc_id").agg(F.sum("_n").alias("_len"))
+    df = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= min_df)
+    )
+    idf = F.log((1.0 + float(n_docs)) / (1.0 + F.col("_df"))) + 1.0
+    return (
+        tf.join(doclen, "doc_id")
+        .join(F.broadcast(df), "token")
+        .select(
+            "doc_id",
+            "token",
+            F.round(F.col("_n") / F.col("_len"), 6).alias("tf"),
+            F.round(idf, 6).alias("idf"),
+            F.round((F.col("_n") / F.col("_len")) * idf, 6).alias("tf_idf"),
+        )
+    )
