@@ -198,6 +198,20 @@ def main() -> None:
 
     timed("bfs_levels", bfs_run)
 
+    from triangle_counting_spark.operators.walks import random_walks
+
+    timed(
+        "random_walks_l8",
+        lambda: random_walks(edges, length=8, walks_per_vertex=1).count(),
+    )
+
+    from triangle_counting_spark.functions.events import sessionize
+    from triangle_counting_spark.functions.text import tf_idf
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    timed("sessions", lambda: sessionize(events).count())
+    timed("tf_idf", lambda: tf_idf(docs, min_df=3).count())
+
     total = round(sum(times.values()), 3)
     out = {
         "metric": "graph+pipeline suite wall time (min-of-%d per query)" % repeats,

@@ -105,6 +105,17 @@ def main() -> None:
         n_pairs = link_prediction(edges, min_common=args.k).count()
         out["linkpred"] = {"min_common": args.k, "pairs": n_pairs,
                           "sec": time.time() - t0}
+    if args.job == "walks":
+        from triangle_counting_spark.operators.walks import (
+            random_walks,
+            walk_skipgram_pairs,
+        )
+
+        t0 = time.time()
+        walks = random_walks(edges, length=args.k)
+        pairs = walk_skipgram_pairs(walks).count()
+        out["walks"] = {"length": args.k, "skipgram_pairs": pairs,
+                        "sec": time.time() - t0}
     if args.job in ("labelprop", "all"):
         t0 = time.time()
         r = label_propagation(edges, checkpoint_dir=args.checkpoint_dir,

@@ -744,6 +744,20 @@ def write_oriented_adjacency(
         buckets = max(spark.sparkContext.defaultParallelism, 4)
     ce = edges if assume_canonical else canonical_edges(edges)
     adj = oriented_adjacency(orient_by_degree(ce))
+    # a PREVIOUS session's managed-table directory survives in the
+    # warehouse while the fresh in-memory catalog has no entry for it —
+    # saveAsTable then fails LOCATION_ALREADY_EXISTS even with overwrite.
+    # Drop any catalog entry, then remove the orphaned location via the
+    # Hadoop FS API (works for any warehouse filesystem, not just local).
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        jvm = spark._jvm
+        wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+        path = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(path, True)
+    except Exception:  # noqa: BLE001 — no orphan to clean
+        pass
     (
         adj.write.mode("overwrite")
         .bucketBy(buckets, "v")
