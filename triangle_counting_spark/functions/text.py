@@ -102,6 +102,7 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 def token_vocabulary(
     docs: DataFrame,
     text_col: str = "text",
+    id_col: str = "doc_id",
     min_count: int = 1,
 ) -> DataFrame:
     """(token, n_occurrences, n_docs) — the corpus vocabulary with
@@ -110,8 +111,8 @@ def token_vocabulary(
     the per-doc ``token_counts`` convention. ``min_count`` prunes the
     long tail before the result materializes."""
     tok = docs.select(
-        F.col("doc_id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(_words(text_col)).alias("token"),
     ).where(F.col("token") != "")
     return (
         tok.groupBy("token")
@@ -133,7 +134,7 @@ def ngram_vocabulary(
     (language-model / collocation statistics). The n-gram expansion is a
     pure JVM expression: transform over a sliding index sequence +
     array_join — no Python, no UDF."""
-    words = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    words = F.filter(_words(text_col), lambda t: t != "")
     idx_hi = F.size(words) - n
     # guard short docs: Spark's sequence(0, -1) is a DESCENDING sequence,
     # not empty — emit an empty array when there is no full n-gram
@@ -165,7 +166,7 @@ def tf_idf(
     the scoring join streams. ``min_df`` drops hapax noise."""
     tok = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        F.explode(_words(text_col)).alias("token"),
     ).where(F.col("token") != "")
     n_docs = docs.select(F.countDistinct(id_col)).collect()[0][0]
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("_n"))

@@ -143,13 +143,17 @@ class Graph:
             self.edges, length=length, walks_per_vertex=walks_per_vertex, seed=seed
         )
 
-    def modularity(self, assignments: DataFrame, label_col: str = "label") -> float:
+    def modularity(
+        self, assignments: DataFrame, label_col: str = "label"
+    ) -> float | None:
+        """None when the assignment covers no graph vertex (the aggregate
+        is empty) — mirrors assortativity's undefined case."""
         from .operators.labelprop import modularity
 
-        return float(
-            modularity(self.edges, assignments, label_col=label_col)
-            .collect()[0]["modularity"]
-        )
+        r = modularity(self.edges, assignments, label_col=label_col).collect()[0][
+            "modularity"
+        ]
+        return None if r is None else float(r)
 
     def assortativity(self) -> float | None:
         from .operators.stats import degree_assortativity

@@ -240,7 +240,10 @@ def modularity(
     """
     from .orientation import canonical_edges, degrees
 
-    ce = canonical_edges(edges)
+    # ce feeds three plan subtrees (inside join, degrees, m) — materialize
+    # once instead of re-running the distinct per subtree (the same
+    # rationale as orient_by_degree's checkpointed degree table)
+    ce = canonical_edges(edges).localCheckpoint(eager=True)
     m = ce.count()
     if m == 0:
         return ce.sparkSession.createDataFrame([(0.0,)], "modularity double")

@@ -753,7 +753,16 @@ def write_oriented_adjacency(
     try:
         jvm = spark._jvm
         wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
-        path = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
+        parts = table.lower().split(".")
+        # managed locations: {wh}/{tbl} in the default db, {wh}/{db}.db/{tbl}
+        # for a qualified name (db-qualified orphans would otherwise survive
+        # and re-trigger LOCATION_ALREADY_EXISTS)
+        loc = (
+            f"{wh}/{parts[-1]}"
+            if len(parts) == 1
+            else f"{wh}/{parts[-2]}.db/{parts[-1]}"
+        )
+        path = jvm.org.apache.hadoop.fs.Path(loc)
         fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.delete(path, True)
     except Exception:  # noqa: BLE001 — no orphan to clean

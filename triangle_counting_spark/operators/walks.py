@@ -48,6 +48,12 @@ def random_walks(
     """
     from pyspark.storagelevel import StorageLevel
 
+    if walks_per_vertex < 1:
+        # sequence(0, -1) would DESCEND ([0, -1]) and emit two walks per
+        # vertex, not zero — same Spark pitfall ngram_vocabulary guards
+        raise ValueError("walks_per_vertex must be >= 1")
+    if length < 0:
+        raise ValueError("length must be >= 0")
     ce = canonical_edges(edges)
     adj = (
         symmetrize(ce)
@@ -63,7 +69,9 @@ def random_walks(
             F.sequence(F.lit(0), F.lit(int(walks_per_vertex) - 1))
         ).alias("walk_ix"),
         F.col("v").alias("v"),
-    )
+        # walk_ix as long: the sequence explodes as int32, but the gate
+        # oracle (and downstream joins) type it BIGINT like step
+    ).withColumn("walk_ix", F.col("walk_ix").cast("long"))
     frames = [cur.select("start_v", "walk_ix", F.lit(0).cast("long").alias("step"), "v")]
     for t in range(1, int(length) + 1):
         key = F.concat_ws(

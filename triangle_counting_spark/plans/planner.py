@@ -47,23 +47,40 @@ def bcast_max_edges(spark) -> int:
     RMAT-21 measured bcast 2.0x faster than the shuffled "part" tier, but
     a fixed 20M-edge cutoff routed it away from bcast on a 128 GiB box).
 
-    Resolution order: explicit ``spark.tcs.bcastMaxEdges`` conf override →
-    10% of the JVM max heap (the proxy for per-node memory; local mode =
-    the whole box) / 16 B, clamped to [20M floor, 256M hard cap]. On a
-    real cluster set the conf from the executor memory you provision.
+    Resolution order: explicit ``spark.tcs.bcastMaxEdges`` conf override
+    (malformed values raise — a silently ignored safety cap is worse than
+    no cap) → 10% of min(driver JVM max heap, ``spark.executor.memory``
+    when set) / 16 B, clamped to [20M floor, 256M hard cap]. The executor
+    term matters in client mode: a 64 GB driver next to 4 GB executors
+    must NOT size executor broadcasts from the driver's heap.
     """
     try:
         override = spark.conf.get("spark.tcs.bcastMaxEdges", None)
-        if override is not None:
-            return int(override)
-    except Exception:  # noqa: BLE001
-        pass
+    except Exception:  # noqa: BLE001 — connect mode without conf access
+        override = None
+    if override is not None:
+        return int(override)  # ValueError on garbage, deliberately loud
     try:
-        heap = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+        mem = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
     except Exception:  # noqa: BLE001 — connect-mode / no JVM handle
         return BCAST_MAX_EDGES
-    derived = (heap // 10) // 16
+    try:
+        exec_mem = spark.conf.get("spark.executor.memory", None)
+        if exec_mem:
+            mem = min(mem, _parse_mem(exec_mem))
+    except Exception:  # noqa: BLE001
+        pass
+    derived = (mem // 10) // 16
     return max(BCAST_MAX_EDGES, min(derived, BCAST_HARD_CAP_EDGES))
+
+
+def _parse_mem(s: str) -> int:
+    """Spark memory string ("4g", "512m", "8192") -> bytes."""
+    s = s.strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s)
 
 
 @dataclass

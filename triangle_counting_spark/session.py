@@ -82,6 +82,12 @@ def get_spark(
         # to amortize task startup. Raise for pure-columnar narrow scans.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # pin the session tz: epoch arithmetic over TIMESTAMP_NTZ columns
+        # (sessionize, event windows) interprets naive timestamps in the
+        # SESSION zone — unpinned, results shift by the host's UTC offset
+        # and split sessions across DST transitions; the SQL oracles treat
+        # naive timestamps as UTC, so the engine must too
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
     if iceberg_catalog:
