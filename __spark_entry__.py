@@ -1183,13 +1183,13 @@ SELECT user_id, session_ix,
        MIN(epoch_ms(ts) // 1000)::BIGINT AS session_start_epoch,
        MAX(epoch_ms(ts) // 1000)::BIGINT AS session_end_epoch,
        COUNT(*)::BIGINT AS n_events,
-       ROUND(SUM(value), 6) AS sum_value
+       (SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0) AS sum_value
 FROM flagged GROUP BY 1, 2""",
         "events_window": """
-SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+SELECT ((epoch_ms(ts) // 1000) - ((epoch_ms(ts) // 1000) % 3600))::BIGINT AS hour_epoch,
        event_type,
        COUNT(*)::BIGINT AS n_events,
-       ROUND(SUM(value), 6) AS sum_value,
+       (SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0) AS sum_value,
        COUNT(DISTINCT user_id)::BIGINT AS n_users
 FROM events GROUP BY 1, 2""",
         "sqrt_n_fraction": (
