@@ -1,19 +1,25 @@
 """Per-round benchmark harness (driver contract).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints EXACTLY ONE stdout line — the compact
+JSON summary:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+Raw per-repeat runs and plan details go to a sidecar file
+($SPARK_GRAFT_RUNS, default bench_runs_latest.json) so the summary line
+stays within the driver's tail capture (VERDICT r3 #2: the r3 line
+embedded "runs" and outgrew it, leaving the round bench unparsed).
 
 Protocol mirrors the reference's benchmarkTC (main.c:161-192): inputs are
 materialized/cached first (the analog of copy-overhead subtraction), then
 each operator is timed end-to-end including its output action.
 
-Noise discipline (VERDICT r2 #10): this host shows ±50% wall-clock noise
-under co-tenancy, so every query runs $SPARK_GRAFT_REPEATS times (default
-3) and reports the MIN — the same protocol scripts/scaling_bench.py uses —
-with the raw runs recorded under "runs" so round-over-round deltas are
-attributable. Also reports edges/sec + triangles/sec throughput for the
-flagship triangle count (BASELINE.json metric).
+Noise discipline (VERDICT r2 #10 + r3 #4): this host shows ±50%
+wall-clock noise under co-tenancy. Repeats are INTERLEAVED — the whole
+suite runs $SPARK_GRAFT_REPEATS times in round-robin passes, so a noisy
+co-tenant window degrades every query's pass equally instead of one
+query's entire sample (r3's per-query consecutive repeats let one bad
+window brand single queries "regressed"). Reported time = min over
+passes; raw passes live in the sidecar for attribution.
 """
 
 from __future__ import annotations
@@ -30,6 +36,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+    runs_path = os.environ.get("SPARK_GRAFT_RUNS", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_runs_latest.json"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from pyspark.sql import functions as F
@@ -48,28 +56,29 @@ def main() -> None:
         write_oriented_adjacency,
     )
     from triangle_counting_spark.functions.dedup import ngram_jaccard_pairs
-    from triangle_counting_spark.functions.similarity import brute_force_topk
+    from triangle_counting_spark.functions.similarity import brute_force_topk, ivf_topk
+    from triangle_counting_spark.operators.bfs import bfs_levels
+    from triangle_counting_spark.operators.walks import random_walks
+    from triangle_counting_spark.functions.events import sessionize
+    from triangle_counting_spark.functions.text import tf_idf
     from triangle_counting_spark.session import get_spark
     from triangle_counting_spark.sources.edges import (
         cooccurrence_edges,
         cooccurrence_weighted_edges,
     )
 
-    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
+    spark = get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    times: dict[str, float] = {}
-    runs: dict[str, list[float]] = {}
-
-    def timed(name: str, fn, n: int | None = None) -> None:
-        rs = []
-        for _ in range(n if n is not None else repeats):
-            t0 = time.time()
-            fn()
-            rs.append(round(time.time() - t0, 3))
-        runs[name] = rs
-        times[name] = min(rs)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
 
     # warm up the Python worker pool + Arrow path once (the reference's
     # benchmark likewise excludes one-time setup: copy-overhead subtraction,
@@ -79,146 +88,135 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
-    # edge derivation cannot reuse the persisted cache across repeats —
-    # run it on its own, then persist the result all other queries share
-    edges = None
+    # shared state across the suite; re-derived each pass by edge_derivation
+    state: dict = {"edges": None, "we": None}
 
     def derive():
-        nonlocal edges
-        if edges is not None:
-            edges.unpersist()
-        edges = cooccurrence_edges(lineitem, "l_orderkey", "l_partkey").persist()
-        edges.count()
+        if state["edges"] is not None:
+            state["edges"].unpersist()
+        state["edges"] = cooccurrence_edges(
+            lineitem, "l_orderkey", "l_partkey"
+        ).persist()
+        state["edges"].count()
 
-    timed("edge_derivation", derive)
+    tri_box: dict = {}
+
+    def tc_auto():
+        tri_box["t"] = triangle_count(
+            state["edges"], "auto", assume_canonical=True
+        ).collect()[0]["triangles"]
+
+    def weighted_pr():
+        if state["we"] is None:
+            state["we"] = cooccurrence_weighted_edges(
+                lineitem, "l_orderkey", "l_partkey"
+            ).persist()
+            state["we"].count()
+        pagerank_fixed(state["we"], 10, weight_col="weight").agg(
+            F.sum("rank")
+        ).collect()
+
+    def delta_split():
+        e = state["edges"]
+        split = F.substring(F.md5(F.concat_ws(",", F.col("src"), F.col("dst"))), 1, 2)
+        triangle_count_delta(e.where(split < "d9"), e.where(split >= "d9")).collect()
+
+    root_box: dict = {}
+
+    def bfs_run():
+        if "r" not in root_box:
+            root_box["r"] = int(state["edges"].agg(F.min("src")).collect()[0][0])
+        bfs_levels(state["edges"], roots=[root_box["r"]]).count()
+
+    # ordered suite; every thunk reads state["edges"] so passes stay honest
+    suite: list[tuple[str, object]] = [
+        ("edge_derivation", derive),
+        ("triangle_count", tc_auto),
+        ("triangle_count_sql",
+         lambda: triangle_count(state["edges"], "sql", assume_canonical=True).collect()),
+        ("triangle_count_part",
+         lambda: triangle_count(state["edges"], "part", assume_canonical=True).collect()),
+        ("triangle_count_merge",
+         lambda: triangle_count(state["edges"], "merge", assume_canonical=True).collect()),
+        ("triangle_count_probe",
+         lambda: triangle_count(state["edges"], "probe", assume_canonical=True).collect()),
+        ("triangle_count_join",
+         lambda: triangle_count(state["edges"], "join", assume_canonical=True).collect()),
+        ("triangle_count_level",
+         lambda: triangle_count(state["edges"], "level", assume_canonical=True).collect()),
+        ("pagerank_10it",
+         lambda: pagerank_fixed(state["edges"], 10).agg(F.sum("rank")).collect()),
+        ("pagerank_weighted_10it", weighted_pr),
+        ("kcore_80", lambda: kcore_edges(state["edges"], 80).count()),
+        ("triangle_delta_15pct", delta_split),
+        ("pagerank_blocked_10it",
+         lambda: pagerank_blocked(
+             state["edges"], tol=-1.0, max_iter=10, assume_canonical=True
+         ).state.agg(F.sum("rank")).collect()),
+        ("connected_components",
+         lambda: connected_components(state["edges"])
+         .state.groupBy("component").count().collect()),
+        ("label_propagation_3it",
+         lambda: label_propagation_fixed(state["edges"], 3)
+         .groupBy("label").count().collect()),
+        ("neardup_jaccard",
+         lambda: ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.15).count()),
+        ("similarity_topk",
+         lambda: brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5).count()),
+        ("ivf_topk",
+         lambda: ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5,
+                          n_centroids=16, n_probe=4).count()),
+        ("bfs_levels", bfs_run),
+        ("random_walks_l8",
+         lambda: random_walks(state["edges"], length=8, walks_per_vertex=1).count()),
+        ("sessions", lambda: sessionize(events).count()),
+        ("tf_idf", lambda: tf_idf(docs, min_df=3).count()),
+    ]
+
+    runs: dict[str, list[float]] = {name: [] for name, _ in suite}
+    for _pass in range(repeats):
+        for name, fn in suite:
+            t0 = time.time()
+            fn()
+            runs[name].append(round(time.time() - t0, 3))
+    times = {name: min(rs) for name, rs in runs.items()}
+
+    edges = state["edges"]
     m = edges.count()
     n_vertices = (
-        edges.select("src").union(edges.select(F.col("dst").alias("src"))).distinct().count()
+        edges.select("src").union(edges.select(F.col("dst").alias("src")))
+        .distinct().count()
     )
 
     from triangle_counting_spark.plans.planner import choose_triangle_strategy
 
     choice = choose_triangle_strategy(edges, assume_canonical=True)
 
-    tri_box = {}
-
-    def tc_auto():
-        tri_box["t"] = triangle_count(edges, "auto", assume_canonical=True).collect()[
-            0
-        ]["triangles"]
-
-    timed("triangle_count", tc_auto)
-    triangles = tri_box["t"]
-    tri_sec = times["triangle_count"]
-
-    for strat in ("sql", "part", "merge", "probe", "join", "level"):
-        timed(
-            f"triangle_count_{strat}",
-            lambda s=strat: triangle_count(edges, s, assume_canonical=True).collect(),
-        )
-
     # suite-reuse path (VERDICT r2 #9): materialize the degree-oriented
     # adjacency ONCE as a bucketed table, then count from it — the repeated
-    # -query plan every per-strategy call above cannot share
+    # -query plan every per-strategy call above cannot share. Once, not per
+    # pass: the build is idempotent-overwrite and the point is amortization.
     t0 = time.time()
     write_oriented_adjacency(edges, "bench_adj", assume_canonical=True)
-    adjacency_build_sec = round(time.time() - t0, 3)
-    runs["adjacency_build"] = [adjacency_build_sec]
-    times["adjacency_build"] = adjacency_build_sec
-    timed(
-        "triangle_count_prebuilt",
-        lambda: triangle_count_from_adjacency(spark.table("bench_adj")).collect(),
-    )
+    runs["adjacency_build"] = [round(time.time() - t0, 3)]
+    times["adjacency_build"] = runs["adjacency_build"][0]
+    for _ in range(repeats):
+        t0 = time.time()
+        triangle_count_from_adjacency(spark.table("bench_adj")).collect()
+        runs.setdefault("triangle_count_prebuilt", []).append(
+            round(time.time() - t0, 3)
+        )
+    times["triangle_count_prebuilt"] = min(runs["triangle_count_prebuilt"])
 
-    timed("pagerank_10it", lambda: pagerank_fixed(edges, 10).agg(F.sum("rank")).collect())
-
-    we = cooccurrence_weighted_edges(lineitem, "l_orderkey", "l_partkey").persist()
-    we.count()
-    timed(
-        "pagerank_weighted_10it",
-        lambda: pagerank_fixed(we, 10, weight_col="weight").agg(F.sum("rank")).collect(),
-    )
-
-    timed("kcore_80", lambda: kcore_edges(edges, 80).count())
-
-    split = F.substring(F.md5(F.concat_ws(",", F.col("src"), F.col("dst"))), 1, 2)
-    timed(
-        "triangle_delta_15pct",
-        lambda: triangle_count_delta(
-            edges.where(split < "d9"), edges.where(split >= "d9")
-        ).collect(),
-    )
-
-    timed(
-        "pagerank_blocked_10it",
-        lambda: pagerank_blocked(edges, tol=-1.0, max_iter=10, assume_canonical=True)
-        .state.agg(F.sum("rank"))
-        .collect(),
-    )
-
-    timed(
-        "connected_components",
-        lambda: connected_components(edges).state.groupBy("component").count().collect(),
-    )
-
-    timed(
-        "label_propagation_3it",
-        lambda: label_propagation_fixed(edges, 3).groupBy("label").count().collect(),
-    )
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    timed(
-        "neardup_jaccard",
-        lambda: ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.15).count(),
-    )
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    timed(
-        "similarity_topk",
-        lambda: brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5).count(),
-    )
-
-    from triangle_counting_spark.functions.similarity import ivf_topk
-
-    timed(
-        "ivf_topk",
-        lambda: ivf_topk(
-            emb, emb.where(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=4
-        ).count(),
-    )
-
-    from triangle_counting_spark.operators.bfs import bfs_levels
-
-    root_box = {}
-
-    def bfs_run():
-        if "r" not in root_box:
-            root_box["r"] = int(edges.agg(F.min("src")).collect()[0][0])
-        bfs_levels(edges, roots=[root_box["r"]]).count()
-
-    timed("bfs_levels", bfs_run)
-
-    from triangle_counting_spark.operators.walks import random_walks
-
-    timed(
-        "random_walks_l8",
-        lambda: random_walks(edges, length=8, walks_per_vertex=1).count(),
-    )
-
-    from triangle_counting_spark.functions.events import sessionize
-    from triangle_counting_spark.functions.text import tf_idf
-
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    timed("sessions", lambda: sessionize(events).count())
-    timed("tf_idf", lambda: tf_idf(docs, min_df=3).count())
-
+    triangles = tri_box["t"]
+    tri_sec = times["triangle_count"]
     total = round(sum(times.values()), 3)
-    out = {
-        "metric": "graph+pipeline suite wall time (min-of-%d per query)" % repeats,
+    summary = {
+        "metric": "graph+pipeline suite wall time (min over %d interleaved passes)"
+        % repeats,
         "value": total,
         "unit": "sec",
         "queries": times,
-        "runs": runs,
         "sf": sf,
         "edges": m,
         "vertices": n_vertices,
@@ -227,21 +225,27 @@ def main() -> None:
         "triangles_per_sec": round(triangles / tri_sec, 1) if tri_sec else None,
         "cpus": cpus,
         "repeats": repeats,
-        # the statistic-driven plan choice behind "auto" (tc.c:1844-1911)
-        "plan_choice": {"strategy": choice.strategy, "m": choice.m,
-                        "k": choice.k, "reason": choice.reason},
     }
+    sidecar = dict(summary)
+    sidecar["runs"] = runs
+    # the statistic-driven plan choice behind "auto" (tc.c:1844-1911)
+    sidecar["plan_choice"] = {"strategy": choice.strategy, "m": choice.m,
+                              "k": choice.k, "reason": choice.reason}
     spark.stop()
+
+    with open(runs_path, "w") as f:
+        json.dump(sidecar, f, indent=1)
     # reference-parity TSV rows (main.c:186-189 format:
     # TC \t input \t n \t m \t name \t sec \t count) alongside the JSON line
     tsv = os.environ.get("SPARK_GRAFT_TSV", "/tmp/bench_results.tsv")
-    n_verts = n_vertices
     with open(tsv, "a") as f:
         for name, sec in times.items():
             f.write(
-                f"TC\t{sf_dir}\t{n_verts}\t{m}\t{name}\t{sec}\t{triangles}\t{cpus}\n"
+                f"TC\t{sf_dir}\t{n_vertices}\t{m}\t{name}\t{sec}\t{triangles}\t{cpus}\n"
             )
-    print(json.dumps(out))
+    print(f"raw runs -> {runs_path}", file=sys.stderr)
+    # the ONE stdout line (driver tail-capture contract)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
