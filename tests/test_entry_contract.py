@@ -51,3 +51,10 @@ def test_gate_count_matches_readme_claim():
     assert f"All {n} gate queries" in readme, (
         f"README gate-count claim is stale: {n} queries in __spark_entry__"
     )
+
+
+def test_gate_count_within_driver_budget():
+    # the driver gates at most 50 queries per round (observed r3: exactly
+    # the first 50 of 63 ran; the rest went stale) — a gate that never
+    # runs is not a gate, so the registry must fit the budget
+    assert len(entry.queries()) <= 50

@@ -433,8 +433,13 @@ def ivf_topk(
         return kernel
 
     def prep(df: DataFrame, idname: str, top: int) -> DataFrame:
-        e = with_norm(df, vec_col).select(
-            F.col(id_col).alias(idname), F.col("_emb"), F.col("_norm")
+        # drop zero-norm vectors exactly as ivf_centroids does — a zero
+        # embedding would divide by zero in the assignment kernel and emit
+        # NaN cos_sim rows instead of being excluded (ADVICE r3)
+        e = (
+            with_norm(df, vec_col)
+            .where(F.col("_norm") > 0)
+            .select(F.col(id_col).alias(idname), F.col("_emb"), F.col("_norm"))
         )
         schema = f"{idname} long, cid int, {idname}_emb array<double>, {idname}_n double"
         return e.mapInPandas(make_assign_kernel(idname, top), schema=schema)

@@ -128,12 +128,13 @@ def ngram_vocabulary(
     docs: DataFrame,
     n: int = 2,
     text_col: str = "text",
+    id_col: str = "doc_id",
     min_count: int = 1,
 ) -> DataFrame:
-    """(ngram, n_occurrences) — word n-gram counts across the corpus
-    (language-model / collocation statistics). The n-gram expansion is a
-    pure JVM expression: transform over a sliding index sequence +
-    array_join — no Python, no UDF."""
+    """(ngram, n_occurrences, n_docs) — word n-gram counts and document
+    frequencies across the corpus (language-model / collocation
+    statistics). The n-gram expansion is a pure JVM expression: transform
+    over a sliding index sequence + array_join — no Python, no UDF."""
     words = F.filter(_words(text_col), lambda t: t != "")
     idx_hi = F.size(words) - n
     # guard short docs: Spark's sequence(0, -1) is a DESCENDING sequence,
@@ -146,9 +147,15 @@ def ngram_vocabulary(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.explode(grams).alias("ngram"))
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(grams).alias("ngram"),
+        )
         .groupBy("ngram")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
         .where(F.col("n_occurrences") >= min_count)
     )
 

@@ -118,6 +118,7 @@ def _sampled_distances_shuffle(
         .localCheckpoint(eager=True)
     )
     frontier = state
+    converged = False
     for _ in range(max_iter):
         nbr = (
             sym.join(
@@ -128,10 +129,20 @@ def _sampled_distances_shuffle(
         )
         new = nbr.join(state, ["root", "v"], "left_anti").localCheckpoint(eager=True)
         if new.limit(1).count() == 0:
+            converged = True
             break
         state = state.union(new).localCheckpoint(eager=True)
         frontier = new
     sym.unpersist()
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"sampled_distances: frontier still active after max_iter="
+            f"{max_iter} rounds — distances beyond that depth are missing",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return state.select("root", "v", "dist")
 
 
@@ -259,6 +270,7 @@ def _sssp_shuffle(sym: DataFrame, root: int, max_iter: int) -> DataFrame:
         [(root, 0.0)], "v long, dist double"
     ).localCheckpoint(eager=True)
     frontier = state
+    converged = False
     for _ in range(max_iter):
         relax = (
             sym.join(frontier.select(F.col("v").alias(SRC), "dist"), SRC)
@@ -272,6 +284,7 @@ def _sssp_shuffle(sym: DataFrame, root: int, max_iter: int) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         if improved.limit(1).count() == 0:
+            converged = True
             break
         state = (
             state.join(improved.select("v"), "v", "left_anti")
@@ -280,4 +293,13 @@ def _sssp_shuffle(sym: DataFrame, root: int, max_iter: int) -> DataFrame:
         )
         frontier = improved
     sym.unpersist()
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"sssp: relaxations still improving after max_iter={max_iter} "
+            "rounds — returned distances are an upper bound, not final",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return state

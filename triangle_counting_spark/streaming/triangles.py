@@ -39,17 +39,48 @@ def _read_edges(spark, path: str, before_batch: int | None = None) -> DataFrame 
     excludes partitions >= that id — on an at-least-once REPLAY of batch i,
     a crashed previous attempt may have left edges/batch=i behind, and the
     replay must recompute against exactly the pre-i state."""
-    try:
-        df = spark.read.option("basePath", path).parquet(path)
-        if before_batch is not None:
-            df = df.where(F.col("batch") < int(before_batch))
-        df = df.select(SRC, DST)
-        # cheap existence probe: an unreadable/empty dir raises on read
-        if df.limit(1).count() == 0:
+    import os as _os
+
+    # first batch: nothing accumulated yet. Only the path-absent case may
+    # return None — a readable dir with the wrong layout (e.g. a pre-r3
+    # flat edge log without the batch= partition column) must FAIL loudly,
+    # not silently reset the dedup set and the running total (ADVICE r3).
+    if "://" not in path:
+        # local state_dir: probe the filesystem directly so only the
+        # genuinely-absent/empty case returns None. A crashed first-batch
+        # attempt can leave an empty dir behind — absent and file-less are
+        # the same "nothing accumulated" state.
+        if not _os.path.isdir(path):
             return None
-        return df
-    except Exception:  # noqa: BLE001 — first batch, nothing accumulated yet
+        has_files = any(
+            f.endswith(".parquet")
+            for _r, _d, fs in _os.walk(path)
+            for f in fs
+        )
+        if not has_files:
+            return None
+        df = spark.read.option("basePath", path).parquet(path)
+    else:
+        # remote URI (s3://, hdfs://, ...): the only recoverable read
+        # failure is path-not-found; schema/column errors must propagate
+        try:
+            df = spark.read.option("basePath", path).parquet(path)
+        except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return None
+            raise
+    if "batch" not in df.columns:
+        raise ValueError(
+            f"edge log at {path} lacks the batch= partition column — "
+            "legacy flat layout? Migrate or start a fresh state_dir."
+        )
+    if before_batch is not None:
+        df = df.where(F.col("batch") < int(before_batch))
+    df = df.select(SRC, DST)
+    if df.limit(1).count() == 0:
         return None
+    return df
 
 
 def make_triangle_maintainer(state_dir: str):
