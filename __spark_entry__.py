@@ -762,6 +762,52 @@ def q_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uni.unionAll(bi)
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: formula pixels → real PNG/BMP bytes
+    (zlib/struct) → binary column → decode kernel → integer pixel stats.
+    The oracle recomputes the stats in closed form from media_id alone,
+    so any bit error anywhere in the encode/decode path shifts sum_gray.
+    GIF rows are header-metadata-only (dims, NULL stats) by design."""
+    from triangle_counting_spark.functions.images import (
+        image_features,
+        synthetic_image_media,
+    )
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    media = synthetic_image_media(spark, ids=ids, pixel_mode="formula")
+    return image_features(media).select(
+        "media_id", "format", "width", "height",
+        "n_pixels", "sum_gray", "min_gray", "max_gray",
+    )
+
+
+def q_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container metadata: formula params → real MP4
+    (ISO-BMFF box tree) / AVI (RIFF) bytes → binary column → box-walker
+    kernel → typed metadata. Oracle = the closed-form parameter formulas;
+    integer floor division keeps duration_ms exact on both sides."""
+    from triangle_counting_spark.functions.video import (
+        synthetic_video_media,
+        video_metadata,
+    )
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    return video_metadata(synthetic_video_media(spark, ids=ids))
+
+
+def q_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec p/q-biased 2nd-order walks (p=4, q=0.25: explore-biased)
+    — integer cumulative-weight selection replays exactly in SQL via a
+    correlated window-cumsum subquery, so the oracle verifies every
+    visited vertex of every walk."""
+    from triangle_counting_spark.operators.walks import biased_walks
+
+    return biased_walks(
+        _edges(spark, sf_dir), length=3, walks_per_vertex=1, seed=11,
+        p=4.0, q=0.25,
+    )
+
+
 def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events table (30-min gap) — epochs
     floored to seconds on both sides (epoch_ms // 1000 in the oracle
@@ -920,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": q_modularity,
         "random_walks": q_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
+        "biased_walks": q_biased_walks,
         "link_prediction": q_link_prediction,
         "heavy_light_edges": q_heavy_light_edges,
         "degree_histogram": q_degree_histogram,
@@ -934,6 +981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": q_sessions,
         "ngram_vocab": q_ngram_vocab,
         "tf_idf": q_tf_idf,
+        "image_features": q_image_features,
+        "video_metadata": q_video_metadata,
     }
 
 
@@ -1626,5 +1675,103 @@ SELECT COUNT(*)::BIGINT AS n_pairs,
        ROUND(quantile_cont(dist, 0.9), 6) AS p90_dist,
        MAX(dist)::BIGINT AS max_dist
 FROM d"""
+    )
+    out["image_features"] = """
+WITH ids AS (SELECT doc_id AS media_id FROM documents),
+dims AS (
+  SELECT media_id,
+         CASE media_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'gif' END AS format,
+         (media_id % 61 + 4)::INT AS width,
+         ((media_id * 7) % 47 + 4)::INT AS height
+  FROM ids
+),
+px AS (
+  -- fixed-range series + filter: DuckDB 1.0 generate_series takes no
+  -- lateral column bounds (width <= 64, height <= 50 by the formulas)
+  SELECT d.media_id, ((d.media_id * 31 + r.r * 7 + c.c * 13) % 256)::BIGINT AS g
+  FROM dims d,
+       generate_series(0, 49) AS r(r),
+       generate_series(0, 63) AS c(c)
+  WHERE d.format <> 'gif' AND r.r < d.height AND c.c < d.width
+),
+stats AS (
+  SELECT media_id, COUNT(*)::BIGINT AS n_pixels, SUM(g)::BIGINT AS sum_gray,
+         MIN(g)::INT AS min_gray, MAX(g)::INT AS max_gray
+  FROM px GROUP BY media_id
+)
+SELECT d.media_id, d.format, d.width, d.height,
+       s.n_pixels, s.sum_gray, s.min_gray, s.max_gray
+FROM dims d LEFT JOIN stats s ON d.media_id = s.media_id"""
+    out["video_metadata"] = """
+WITH ids AS (SELECT doc_id AS media_id FROM documents),
+base AS (
+  SELECT media_id,
+         CASE WHEN media_id % 2 = 1 THEN 'mp4' ELSE 'avi' END AS format,
+         (media_id % 127 + 16)::INT AS width,
+         ((media_id * 3) % 95 + 16)::INT AS height,
+         (media_id % 241 + 1)::BIGINT AS nf
+  FROM ids
+)
+SELECT media_id, format, width, height,
+       CASE WHEN format = 'avi' THEN nf END AS n_frames,
+       (CASE WHEN format = 'mp4' THEN (nf * 25 * 1000) // 600
+             ELSE (nf * 40000) // 1000 END)::BIGINT AS duration_ms,
+       CASE WHEN format = 'mp4' THEN 600::BIGINT END AS timescale
+FROM base"""
+    # node2vec biased walks: p=4, q=0.25 -> integer weights w_ret=250000,
+    # w_d1=1000000, w_d2=4000000 (scale 1e6 / p resp. q, the exact
+    # integers the Spark plan inlines — _biased_weights). Step 1 is
+    # uniform (no prev); steps 2..3 pick the first neighbor (sorted
+    # order) whose cumulative weight exceeds md5_32(key) mod total.
+    # staged CTEs, not a correlated subquery: DuckDB 1.0 rejects
+    # correlated columns inside window functions, so candidates/cumsums
+    # are materialized per (walk, step) and the winner picked by QUALIFY
+    _bw_step = """
+c{t} AS (
+  SELECT s.start_v, s.walk_ix, s.v AS cur_v, u.nbr, u.ord,
+         CASE WHEN u.nbr = s.prev THEN 250000
+              WHEN list_contains(pa.nbrs, u.nbr) THEN 1000000
+              ELSE 4000000 END AS w
+  FROM b{prev_t} s JOIN adjp u ON u.v = s.v JOIN adj pa ON pa.v = s.prev
+),
+w{t} AS (
+  SELECT start_v, walk_ix, cur_v, nbr, ord,
+         SUM(w) OVER (PARTITION BY start_v, walk_ix ORDER BY ord) AS cum,
+         SUM(w) OVER (PARTITION BY start_v, walk_ix) AS tot
+  FROM c{t}
+),
+b{t} AS (
+  SELECT start_v, walk_ix, cur_v AS prev, nbr AS v
+  FROM w{t}
+  WHERE cum > (('0x' || substr(md5(start_v || '_' || walk_ix || '_{t}_11_b'), 1, 8))::BIGINT % tot)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY start_v, walk_ix ORDER BY ord) = 1
+)"""
+    out["biased_walks"] = (
+        "WITH "
+        + EDGES_CTE
+        + """,
+adj AS (
+  SELECT src AS v, list(dst ORDER BY dst) AS nbrs, COUNT(*)::BIGINT AS deg
+  FROM sym GROUP BY src
+),
+adjp AS (
+  SELECT src AS v, dst AS nbr,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS ord
+  FROM sym
+),
+b0 AS (SELECT v AS start_v, 0::BIGINT AS walk_ix, v FROM verts),
+b1 AS (
+  SELECT b0.start_v, b0.walk_ix, b0.v AS prev,
+         adj.nbrs[((((('0x' || substr(md5(b0.start_v || '_' || b0.walk_ix || '_1_11_b'), 1, 8))::BIGINT) % adj.deg) + 1))::INT] AS v
+  FROM b0 JOIN adj ON adj.v = b0.v
+),"""
+        + _bw_step.format(t=2, prev_t=1).lstrip("\n")
+        + ","
+        + _bw_step.format(t=3, prev_t=2)
+        + """
+SELECT start_v, walk_ix, 0::BIGINT AS step, v FROM b0
+UNION ALL SELECT start_v, walk_ix, 1::BIGINT, v FROM b1
+UNION ALL SELECT start_v, walk_ix, 2::BIGINT, v FROM b2
+UNION ALL SELECT start_v, walk_ix, 3::BIGINT, v FROM b3"""
     )
     return out

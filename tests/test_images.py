@@ -1,0 +1,173 @@
+"""Real PNG/BMP decode + GIF headers (functions/images.py) — the image
+modality's decode boundary is no longer a stub (zlib + struct, stdlib).
+
+Covers: encoder→decoder roundtrips (incl. adversarial PNG filter types
+the encoder itself never emits), distributed determinism, header
+metadata parsed JVM-side vs the decode kernel, and the closed-form
+formula-pixel mode the gate oracle replays in SQL.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from triangle_counting_spark.functions.images import (
+    decode_image,
+    encode_bmp,
+    encode_gif_header,
+    encode_png,
+    image_features,
+    image_header_metadata,
+    synthetic_image_media,
+)
+
+
+def _rng_px(h, w, seed=3):
+    return np.random.default_rng(seed).integers(0, 256, size=(h, w), dtype=np.uint8)
+
+
+def test_png_roundtrip_local():
+    px = _rng_px(23, 17)
+    fmt, w, h, out = decode_image(encode_png(px))
+    assert (fmt, w, h) == ("png", 17, 23)
+    assert np.array_equal(out, px)
+
+
+def test_png_all_filter_types_decode():
+    """The decoder claims all five standard row filters; the encoder only
+    emits filter 0, so build filtered scanlines by hand and check the
+    unfilter logic against the spec's reference arithmetic."""
+    px = _rng_px(12, 9, seed=7)
+    h, w = px.shape
+    rows = []
+    for r in range(h):
+        ftype = r % 5  # None, Sub, Up, Average, Paeth in rotation
+        cur = px[r].astype(np.int32)
+        prev = px[r - 1].astype(np.int32) if r else np.zeros(w, dtype=np.int32)
+        enc = np.zeros(w, dtype=np.int32)
+        for i in range(w):
+            a = int(cur[i - 1]) if i else 0
+            b = int(prev[i])
+            c = int(prev[i - 1]) if (i and r) else 0
+            if ftype == 0:
+                base = 0
+            elif ftype == 1:
+                base = a
+            elif ftype == 2:
+                base = b
+            elif ftype == 3:
+                base = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                base = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[i] = (int(cur[i]) - base) & 0xFF
+        rows.append(bytes([ftype]) + enc.astype(np.uint8).tobytes())
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+    fmt, ww, hh, out = decode_image(payload)
+    assert (fmt, ww, hh) == ("png", w, h)
+    assert np.array_equal(out, px)
+
+
+def test_bmp_roundtrip_includes_row_padding():
+    # width 5 -> 15 data bytes/row, padded to 16: exercises the pad path
+    px = _rng_px(6, 5)
+    fmt, w, h, out = decode_image(encode_bmp(px))
+    assert (fmt, w, h) == ("bmp", 5, 6)
+    assert np.array_equal(out, px)
+
+
+def test_gif_header_metadata_only():
+    fmt, w, h, out = decode_image(encode_gif_header(33, 21))
+    assert (fmt, w, h, out) == ("gif", 33, 21, None)
+
+
+def test_unknown_magic_raises():
+    with pytest.raises(ValueError, match="unknown image format"):
+        decode_image(b"\x00\x01\x02\x03 definitely not an image")
+
+
+def test_synthetic_media_distributed_deterministic(spark):
+    a = {r.media_id: bytes(r.payload) for r in synthetic_image_media(spark, n=18).collect()}
+    b = {
+        r.media_id: bytes(r.payload)
+        for r in synthetic_image_media(spark, n=18).repartition(7).collect()
+    }
+    assert a == b
+    # formats rotate by media_id % 3
+    fmts = {r.media_id: r.format for r in image_features(synthetic_image_media(spark, n=18)).collect()}
+    assert all(fmts[mid] == ("png", "bmp", "gif")[mid % 3] for mid in fmts)
+
+
+def test_features_match_numpy_ground_truth(spark):
+    media = synthetic_image_media(spark, n=12, seed=9)
+    feats = {r.media_id: r for r in image_features(media).collect()}
+    assert len(feats) == 12
+    for mid, r in feats.items():
+        w_exp = mid % 61 + 4
+        h_exp = (mid * 7) % 47 + 4
+        assert (r.width, r.height) == (w_exp, h_exp)
+        if r.format == "gif":
+            assert r.n_pixels is None and r.sum_gray is None
+            continue
+        rng = np.random.default_rng(9 * 1_000_003 + mid)
+        px = rng.integers(0, 256, size=(h_exp, w_exp), dtype=np.uint8)
+        assert r.n_pixels == px.size
+        assert r.sum_gray == int(px.astype(np.int64).sum())
+        assert r.mean_gray == pytest.approx(float(px.mean()))
+        assert r.std_gray == pytest.approx(float(px.std()))
+        assert (r.min_gray, r.max_gray) == (int(px.min()), int(px.max()))
+
+
+def test_formula_pixels_closed_form(spark):
+    """pixel_mode='formula' is the SQL-replayable gate path: sums must
+    equal the closed-form double loop, THROUGH real encoded bytes."""
+    media = synthetic_image_media(spark, n=9, pixel_mode="formula")
+    feats = {r.media_id: r for r in image_features(media).collect()}
+    for mid, r in feats.items():
+        if r.format == "gif":
+            continue
+        w, h = mid % 61 + 4, (mid * 7) % 47 + 4
+        g = (mid * 31 + np.arange(h)[:, None] * 7 + np.arange(w)[None, :] * 13) % 256
+        assert r.sum_gray == int(g.sum())
+        assert (r.min_gray, r.max_gray) == (int(g.min()), int(g.max()))
+
+
+def test_header_metadata_jvm_side_matches_decode(spark):
+    media = synthetic_image_media(spark, n=15)
+    meta = {r.media_id: r for r in image_header_metadata(media).collect()}
+    full = {r.media_id: r for r in image_features(media).collect()}
+    assert set(meta) == set(full)
+    for mid, m in meta.items():
+        assert (m.format, m.width, m.height) == (
+            full[mid].format, full[mid].width, full[mid].height,
+        )
+        assert m.bit_depth == {"png": 8, "bmp": 24, "gif": 1}[m.format]
+    # header path is JVM-only: no Python-worker stages in the plan
+    plan_str = (
+        image_header_metadata(media)
+        .where(F.col("width") > 0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan_str
+    assert "BatchEvalPython" not in plan_str
+    # exactly ONE Python stage: the synthetic source; header parsing
+    # itself must not add a second
+    assert plan_str.count("MapInPandas") == 1

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 IMAGE_FEATURE_SCHEMA = (
     "media_id long, format string, width int, height int, n_pixels long, "
-    "mean_gray double, std_gray double, min_gray int, max_gray int"
+    "sum_gray long, mean_gray double, std_gray double, min_gray int, max_gray int"
 )
 
 
@@ -194,14 +194,25 @@ def _dims_for(media_id: int) -> tuple[str, int, int]:
     return fmt, width, height
 
 
-def synthetic_image_media(spark, ids=None, n: int = 64, seed: int = 9) -> DataFrame:
+def synthetic_image_media(
+    spark, ids=None, n: int = 64, seed: int = 9, pixel_mode: str = "rng"
+) -> DataFrame:
     """(media_id, payload) — REAL encoded PNG/BMP/GIF payloads, generated
     distributed; format + dimensions derive deterministically from
     media_id (``_dims_for``), pixel content from a seeded generator, so
     the table is identical at any partitioning. ``ids``: an optional
     1-column DataFrame of media ids (e.g. documents.doc_id) so gate
-    queries can build media over driver-provided tables."""
+    queries can build media over driver-provided tables.
+
+    ``pixel_mode``: "rng" (seeded PCG64 noise) or "formula" —
+    ``gray(r, c) = (media_id*31 + r*7 + c*13) mod 256`` — whose pixel
+    statistics an ANSI-SQL oracle recomputes in closed form WITHOUT a
+    decoder, so a gate verifies the full encode→binary→decode pipeline
+    against arithmetic ground truth (any bit error in the PNG filter or
+    BMP row logic shifts the sums)."""
     enc_png, enc_bmp, enc_gif = encode_png, encode_bmp, encode_gif_header
+    if pixel_mode not in ("rng", "formula"):
+        raise ValueError(f"pixel_mode must be 'rng' or 'formula', got {pixel_mode!r}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -216,8 +227,13 @@ def synthetic_image_media(spark, ids=None, n: int = 64, seed: int = 9) -> DataFr
                 if fmt == "gif":
                     payloads.append(enc_gif(width, height))
                     continue
-                rng = np.random.default_rng(seed * 1_000_003 + mid)
-                px = rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+                if pixel_mode == "formula":
+                    r = np.arange(height, dtype=np.int64)[:, None]
+                    c = np.arange(width, dtype=np.int64)[None, :]
+                    px = ((mid * 31 + r * 7 + c * 13) % 256).astype(np.uint8)
+                else:
+                    rng = np.random.default_rng(seed * 1_000_003 + mid)
+                    px = rng.integers(0, 256, size=(height, width), dtype=np.uint8)
                 payloads.append(enc_png(px) if fmt == "png" else enc_bmp(px))
             yield pd.DataFrame({"media_id": b["media_id"], "payload": payloads})
 
@@ -289,9 +305,11 @@ def image_header_metadata(media: DataFrame) -> DataFrame:
 
 
 def image_features(media: DataFrame) -> DataFrame:
-    """(media_id, format, width, height, n_pixels, mean_gray, std_gray,
-    min_gray, max_gray) via REAL pixel decode in an Arrow-batched kernel
-    (PNG/BMP; GIF rows yield header dims with NULL pixel stats)."""
+    """(media_id, format, width, height, n_pixels, sum_gray, mean_gray,
+    std_gray, min_gray, max_gray) via REAL pixel decode in an
+    Arrow-batched kernel (PNG/BMP; GIF rows yield header dims with NULL
+    pixel stats). ``sum_gray`` is the exact int64 pixel sum — the
+    integer-exact statistic gate hashing uses (floats stay for users)."""
     dec = decode_image
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -300,11 +318,14 @@ def image_features(media: DataFrame) -> DataFrame:
             for mid, payload in zip(b["media_id"], b["payload"]):
                 fmt, w, h, px = dec(bytes(payload))
                 if px is None:
-                    rows.append((int(mid), fmt, w, h, None, None, None, None, None))
+                    rows.append(
+                        (int(mid), fmt, w, h, None, None, None, None, None, None)
+                    )
                 else:
                     rows.append(
                         (
                             int(mid), fmt, w, h, int(px.size),
+                            int(px.astype("int64").sum()),
                             float(px.mean()), float(px.std()),
                             int(px.min()), int(px.max()),
                         )
@@ -313,7 +334,7 @@ def image_features(media: DataFrame) -> DataFrame:
                 rows,
                 columns=[
                     "media_id", "format", "width", "height", "n_pixels",
-                    "mean_gray", "std_gray", "min_gray", "max_gray",
+                    "sum_gray", "mean_gray", "std_gray", "min_gray", "max_gray",
                 ],
             )
 

@@ -3,11 +3,14 @@
 Images/audio/video ride as opaque ``binary`` columns plus a metadata
 struct; decode/feature-extraction run as Arrow-batched kernels over
 ``mapInPandas``. AUDIO decode is REAL (WAV/PCM via stdlib wave + numpy —
-functions/audio.py, with closed-form-verified features); image/video
-decode remains STUBBED (no imaging/codec libs in this container — clearly
-marked below). Everything Spark-side — schema, batching, partition
-sizing, UDF signatures, deterministic fake features — is real and tested,
-so swapping in a real image/video decoder is a one-function change.
+functions/audio.py), IMAGE decode is REAL (PNG/BMP pixel decode + GIF
+headers — functions/images.py), VIDEO container METADATA is REAL
+(MP4 ISO-BMFF box walk + AVI RIFF — functions/video.py). The one
+remaining stub is video FRAME decode (H.264/VP9/AV1 bitstreams need
+codec libraries this container lacks — clearly marked below). Everything
+Spark-side — schema, batching, partition sizing, UDF signatures,
+deterministic fake features — is real and tested, so swapping in a real
+frame decoder is a one-function change.
 
 Scale notes: binary columns dominate row size, so
 ``spark.sql.files.maxPartitionBytes`` governs task memory; feature
@@ -51,17 +54,25 @@ def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
 
 def _decode_stub(payload: bytes, kind: str):
     """THE decode boundary. AUDIO is real (WAV/PCM via stdlib wave + numpy,
-    functions/audio.py — no external libs needed); image/video still need
-    codecs this container lacks, so they raise — callers that need features
-    for those kinds use the deterministic fake path below instead."""
+    functions/audio.py), IMAGE is real (PNG/BMP pixels + GIF headers,
+    functions/images.py), video container METADATA is real
+    (functions/video.py). Video FRAME decode needs codecs this container
+    lacks, so it raises — callers that need frame-level features use the
+    deterministic fake path below instead."""
     if kind == "audio":
         from .audio import decode_wav
 
         return decode_wav(payload)
+    if kind == "image":
+        from .images import decode_image
+
+        return decode_image(payload)
     raise NotImplementedError(
-        f"{kind} decoding requires imaging/codec libraries not present in "
-        "this environment; use extract_features(fake=True). Audio (WAV) "
-        "decodes for real — see functions/audio.py."
+        f"{kind} frame decoding requires codec libraries not present in "
+        "this environment; use extract_features(fake=True) or "
+        "functions.video.video_metadata for container metadata. Audio "
+        "(WAV) and images (PNG/BMP) decode for real — see "
+        "functions/audio.py and functions/images.py."
     )
 
 
