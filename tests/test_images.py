@@ -171,3 +171,41 @@ def test_header_metadata_jvm_side_matches_decode(spark):
     # exactly ONE Python stage: the synthetic source; header parsing
     # itself must not add a second
     assert plan_str.count("MapInPandas") == 1
+
+
+# --- property-based roundtrips (pure local functions, no Spark) ---
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=40),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_png_roundtrip_property(w, h, seed):
+        px = np.random.default_rng(seed).integers(0, 256, size=(h, w), dtype=np.uint8)
+        fmt, ww, hh, out = decode_image(encode_png(px))
+        assert (fmt, ww, hh) == ("png", w, h)
+        assert np.array_equal(out, px)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=40),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_bmp_roundtrip_property(w, h, seed):
+        px = np.random.default_rng(seed).integers(0, 256, size=(h, w), dtype=np.uint8)
+        fmt, ww, hh, out = decode_image(encode_bmp(px))
+        assert (fmt, ww, hh) == ("bmp", w, h)
+        assert np.array_equal(out, px)

@@ -24,11 +24,39 @@ def test_multimodal_feature_plumbing(spark):
 
 
 def test_multimodal_decode_stub_raises(spark):
-    # image/video payloads hit the stub boundary (audio is real now, so
-    # exclude it — its fake payloads would fail WAV parsing instead)
-    media = synthetic_media(spark, n=16).where(F.col("kind") != "audio")
-    with pytest.raises(Exception, match="NotImplementedError|decoding requires"):
+    # video frame decode is the one remaining stub boundary (audio and
+    # image decode for real now; their fake payloads would fail format
+    # parsing instead, so test the video rows alone)
+    media = synthetic_media(spark, n=24).where(F.col("kind") == "video")
+    with pytest.raises(Exception, match="NotImplementedError|frame decoding"):
         extract_features(media, fake=False).collect()
+
+
+def test_multimodal_real_image_features_end_to_end(spark):
+    """fake=False over real PNG/BMP payloads: gray-histogram features
+    through the same mapInPandas plumbing, checked against numpy."""
+    import numpy as np
+    from pyspark.sql import functions as FF
+
+    from triangle_counting_spark.functions.images import synthetic_image_media
+
+    media = synthetic_image_media(spark, n=8, seed=9).select(
+        "media_id", FF.lit("image").alias("kind"), "payload"
+    )
+    rows = {r.media_id: r.feature for r in
+            extract_features(media, dim=8, fake=False).collect()}
+    assert len(rows) == 8
+    for mid, feat in rows.items():
+        assert len(feat) == 8
+        if mid % 3 == 2:  # gif: header-only, zero feature by contract
+            assert feat == [0.0] * 8
+            continue
+        w, h = mid % 61 + 4, (mid * 7) % 47 + 4
+        px = np.random.default_rng(9 * 1_000_003 + mid).integers(
+            0, 256, size=(h, w), dtype=np.uint8)
+        hist, _ = np.histogram(px, bins=8, range=(0, 256))
+        want = hist / hist.sum()
+        assert np.allclose(feat, want)
 
 
 def test_multimodal_real_audio_features_end_to_end(spark):
@@ -60,8 +88,13 @@ def test_multimodal_audio_decode_is_real():
     payload = encode_wav_pcm16(0.3 * np.sin(2 * np.pi * 100 * t), 4000)
     rate, nch, samples = _decode_stub(payload, "audio")
     assert (rate, nch, len(samples)) == (4000, 1, 4000)
-    with pytest.raises(NotImplementedError):
+    # images route to the real PNG/BMP decoder (r4) — a WAV payload is
+    # not an image, so the decoder (not a stub) rejects it
+    with pytest.raises(ValueError, match="unknown image format"):
         _decode_stub(payload, "image")
+    # video frame decode is the one remaining stub boundary
+    with pytest.raises(NotImplementedError, match="frame decoding"):
+        _decode_stub(payload, "video")
 
 
 def test_frame_sample_plan(spark):
@@ -106,3 +139,36 @@ def test_streaming_exact_dedup(spark, tmp_path):
     ).write.parquet(str(src))
     n = run_dedup_stream_demo(spark, str(src), str(tmp_path / "out"))
     assert n == 2  # two distinct texts
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """The streaming session_window twin must agree with the batch
+    sessionize on every session the final watermark closed (append mode
+    holds back sessions inside the trailing gap — those are the batch
+    operator's job on the sink table)."""
+    from pyspark.sql import functions as F
+
+    from triangle_counting_spark.functions.events import epoch_seconds, sessionize
+    from triangle_counting_spark.streaming.events import run_session_stream_demo
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    events = spark.read.parquet(src)
+    gap = 30
+    got = {
+        (r.user_id, r.session_start_epoch, r.session_end_epoch,
+         r.n_events, round(r.sum_value, 6))
+        for r in run_session_stream_demo(
+            spark, src, str(tmp_path / "sess"), gap_minutes=gap).collect()
+    }
+    assert got, "stream emitted no sessions"
+    # expected: batch sessions whose end + gap <= max event time (the
+    # final watermark with a 0-second delay)
+    max_epoch = events.select(
+        F.max(epoch_seconds(events)).alias("m")).collect()[0]["m"]
+    batch = {
+        (r.user_id, r.session_start_epoch, r.session_end_epoch,
+         r.n_events, round(r.sum_value, 6))
+        for r in sessionize(events, gap_minutes=gap).collect()
+        if r.session_end_epoch + gap * 60 <= max_epoch
+    }
+    assert got == batch

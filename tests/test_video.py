@@ -111,3 +111,44 @@ def test_avi_header_metadata_jvm_side(spark):
     assert "ArrowEvalPython" not in plan_str
     assert "BatchEvalPython" not in plan_str
     assert plan_str.count("MapInPandas") == 1  # only the synthetic source
+
+
+# --- property-based roundtrips (pure local functions, no Spark) ---
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=8192),
+        h=st.integers(min_value=1, max_value=8192),
+        nf=st.integers(min_value=1, max_value=1_000_000),
+        ts=st.integers(min_value=1, max_value=1_000_000),
+        ft=st.integers(min_value=1, max_value=10_000),
+    )
+    def test_mp4_roundtrip_property(w, h, nf, ts, ft):
+        fmt, ww, hh, _nf, dur_ms, ts_out = parse_video(
+            encode_mp4(w, h, nf, timescale=ts, frame_ticks=ft))
+        assert (fmt, ww, hh, ts_out) == ("mp4", w, h, ts)
+        assert dur_ms == nf * ft * 1000 // ts
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=8192),
+        h=st.integers(min_value=1, max_value=8192),
+        nf=st.integers(min_value=0, max_value=1_000_000),
+        us=st.integers(min_value=1, max_value=10_000_000),
+    )
+    def test_avi_roundtrip_property(w, h, nf, us):
+        fmt, ww, hh, nf_out, dur_ms, ts = parse_video(
+            encode_avi_header(w, h, nf, usec_per_frame=us))
+        assert (fmt, ww, hh, nf_out, ts) == ("avi", w, h, nf, None)
+        assert dur_ms == nf * us // 1000

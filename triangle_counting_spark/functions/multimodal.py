@@ -82,15 +82,17 @@ def extract_features(media: DataFrame, dim: int = 8, fake: bool = True) -> DataF
     fake=True → deterministic features hashed from the payload bytes (the
     Spark plumbing under test); fake=False → REAL decode per row:
     kind='audio' decodes WAV payloads and emits ``dim`` normalized
-    spectral band energies; image/video raise until a codec decoder is
-    plugged in.
+    spectral band energies; kind='image' decodes PNG/BMP pixels and
+    emits a ``dim``-bin normalized gray histogram; kind='video' raises
+    (frame decode needs codec libraries).
     """
 
     def make_kernel(_dim: int, _fake: bool):
-        # captured at factory time: decode_wav has a <locals> qualname, so
-        # cloudpickle ships it BY VALUE — the kernel needs no package
-        # import on the worker (repo-wide closure rule)
+        # captured at factory time: decode_wav/decode_image have <locals>
+        # qualnames, so cloudpickle ships them BY VALUE — the kernel needs
+        # no package import on the worker (repo-wide closure rule)
         from .audio import decode_wav as _decode_audio
+        from .images import decode_image as _decode_img
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import hashlib
@@ -101,12 +103,24 @@ def extract_features(media: DataFrame, dim: int = 8, fake: bool = True) -> DataF
                 feats = []
                 for payload, kind in zip(b["payload"], b["kind"]):
                     if not _fake:
-                        # per-row kind routing: audio decodes FOR REAL
-                        # (WAV) and yields spectral band energies;
-                        # image/video raise at the stub boundary
+                        # per-row kind routing: audio (WAV) and image
+                        # (PNG/BMP) decode FOR REAL; video frame decode
+                        # is the one remaining stub boundary
+                        if str(kind) == "image":
+                            _fmt, _w, _h, px = _decode_img(bytes(payload))
+                            if px is None:  # GIF: header-only format
+                                feats.append([0.0] * _dim)
+                                continue
+                            hist, _ = np.histogram(
+                                px, bins=_dim, range=(0, 256))
+                            tot = float(hist.sum())
+                            feats.append(
+                                (hist / tot if tot > 0 else
+                                 hist.astype(np.float64)).tolist())
+                            continue
                         if str(kind) != "audio":
                             raise NotImplementedError(
-                                f"{kind} decoding requires imaging/codec "
+                                f"{kind} frame decoding requires codec "
                                 "libraries not present in this environment; "
                                 "use extract_features(fake=True)"
                             )

@@ -56,20 +56,32 @@ def _video_codec():
 
     def encode_mp4(width: int, height: int, n_frames: int, timescale: int = 600,
                    frame_ticks: int = 25) -> bytes:
-        """Minimal REAL ISO-BMFF: ftyp + moov(mvhd + trak(tkhd)). mvhd v0
-        carries timescale/duration; tkhd v0 carries 16.16 fixed-point
+        """Minimal REAL ISO-BMFF: ftyp + moov(mvhd + trak(tkhd)). mvhd
+        carries timescale/duration; tkhd carries 16.16 fixed-point
         width/height. duration = n_frames * frame_ticks (in timescale
-        units). No mdat — metadata container, like a truncated download."""
+        units); version-0 boxes while it fits u32, version-1 (64-bit
+        duration) beyond — exactly per spec (found by the hypothesis
+        roundtrip test: a long clip at a fine timescale overflows u32).
+        No mdat — metadata container, like a truncated download."""
         import struct
 
         duration = n_frames * frame_ticks
+        v1 = duration > 0xFFFFFFFF
         ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
         matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        if v1:
+            mvhd_times = struct.pack(">QQIQ", 0, 0, timescale, duration)
+            tkhd_times = struct.pack(">QQI", 0, 0, 1) + b"\x00" * 4 + struct.pack(
+                ">Q", duration)
+        else:
+            mvhd_times = struct.pack(">IIII", 0, 0, timescale, duration)
+            tkhd_times = struct.pack(">III", 0, 0, 1) + b"\x00" * 4 + struct.pack(
+                ">I", duration)
+        ver_flag = (0x01000000 if v1 else 0)
         mvhd = _box(
             b"mvhd",
-            struct.pack(">I", 0)                       # version 0 + flags
-            + struct.pack(">II", 0, 0)                  # ctime, mtime
-            + struct.pack(">II", timescale, duration)
+            struct.pack(">I", ver_flag)                 # version + flags
+            + mvhd_times                                # ctime, mtime, ts, dur
             + struct.pack(">I", 0x00010000)             # rate 1.0
             + struct.pack(">H", 0x0100)                 # volume 1.0
             + b"\x00" * 10                              # reserved
@@ -79,11 +91,8 @@ def _video_codec():
         )
         tkhd = _box(
             b"tkhd",
-            struct.pack(">I", 0x000007)                 # version 0, enabled
-            + struct.pack(">II", 0, 0)                  # ctime, mtime
-            + struct.pack(">I", 1)                      # track_id
-            + b"\x00" * 4                               # reserved
-            + struct.pack(">I", duration)
+            struct.pack(">I", ver_flag | 0x000007)      # version, enabled
+            + tkhd_times                                # ctime, mtime, id, rsvd, dur
             + b"\x00" * 8                               # reserved
             + struct.pack(">HHHH", 0, 0, 0, 0)          # layer/group/vol/rsvd
             + matrix

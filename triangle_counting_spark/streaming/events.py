@@ -47,6 +47,73 @@ def streaming_event_counts(
     )
 
 
+def streaming_sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``functions.events.sessionize``: gap-based
+    sessions over a live event stream via Spark's native
+    ``session_window`` (merging session state per user, closed and
+    emitted once the watermark passes a session's end = last event +
+    gap). State is bounded by the watermark horizon — open sessions per
+    active user, not stream history.
+
+    Emission semantics (append mode): a session emits only when
+    watermark ≥ session end, so on a finite stream the final sessions
+    inside the last gap stay in state — the batch operator on the sink
+    table closes them (same composition note as streaming_exact_dedup).
+    Columns match the batch operator's (session start/end as epoch
+    seconds of first/last event; sum_value integer-exact) so the two
+    results diff directly."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    micro = F.round(F.col("value") * 1_000_000).cast("long")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{int(gap_minutes)} minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(micro) / F.lit(1_000_000.0)).alias("sum_value"),
+            F.min(F.unix_seconds(F.col("ts"))).alias("session_start_epoch"),
+            F.max(F.unix_seconds(F.col("ts"))).alias("session_end_epoch"),
+        )
+        .select(
+            "user_id", "session_start_epoch", "session_end_epoch",
+            "n_events", "sum_value",
+        )
+    )
+
+
+def run_session_stream_demo(
+    spark, src_dir: str, out_dir: str, gap_minutes: int = 30,
+    watermark: str = "0 seconds", timeout_sec: int = 60,
+) -> DataFrame:
+    """Drive streaming_sessionize end-to-end (availableNow over staged
+    event files → parquet sink); returns the emitted sessions as a batch
+    DataFrame. With watermark '0 seconds', emitted = every session whose
+    end (last event + gap) the final watermark (max event time) passed."""
+    batch = spark.read.parquet(src_dir)
+    staged = f"{out_dir}/staged"
+    batch.write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(batch.schema).parquet(staged)
+    sessions = streaming_sessionize(stream, gap_minutes, watermark)
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/data")
+        .option("checkpointLocation", f"{out_dir}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+    return spark.read.parquet(f"{out_dir}/data")
+
+
 def streaming_degree_counts(edge_stream: DataFrame, watermark_col: str | None = None) -> DataFrame:
     """Running degree table over an append-only edge stream (src, dst).
 
