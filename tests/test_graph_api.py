@@ -29,6 +29,8 @@ def test_graph_facade_end_to_end(spark):
         lv = {r.v: r.level for r in g.bfs(roots=[0]).collect()}
         assert lv[4] == 2
         assert 0.0 <= g.k_metric() <= 1.0
+        walks = g.biased_walks(length=3, p=2.0, q=0.5)
+        assert walks.count() == 5 * 4  # (L+1) rows per vertex walk
         assert g.plan().strategy == "sql"  # tiny graph
     finally:
         g.unpersist()

@@ -143,6 +143,19 @@ class Graph:
             self.edges, length=length, walks_per_vertex=walks_per_vertex, seed=seed
         )
 
+    def biased_walks(
+        self, length: int = 4, walks_per_vertex: int = 1, seed: int = 11,
+        p: float = 1.0, q: float = 1.0,
+    ) -> DataFrame:
+        """node2vec p/q-biased 2nd-order walks (p: return bias, q:
+        in-out bias; p=q=1 ≈ uniform up to the hash key-space)."""
+        from .operators.walks import biased_walks
+
+        return biased_walks(
+            self.edges, length=length, walks_per_vertex=walks_per_vertex,
+            seed=seed, p=p, q=q,
+        )
+
     def modularity(
         self, assignments: DataFrame, label_col: str = "label"
     ) -> float | None:
