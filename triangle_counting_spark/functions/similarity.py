@@ -470,3 +470,155 @@ def ivf_topk(
         .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id",
                 F.round("cs", 6).alias("cos_sim"))
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id_col, codes: binary, code_norm: double) — symmetric int8 max-abs
+    scalar quantization (SQ8), the storage/IO tier for 100 TB similarity:
+    code_i = round(x_i / max|x| · 127) packed as one byte per dimension, a
+    4× (float32) / 8× (float64) reduction in scan bytes — the sequential-
+    scan cost an exhaustive rescore pays is dominated by IO at corpus
+    scale, so SQ8 cuts it proportionally.
+
+    Cosine needs NO dequantization scale: the per-vector max-abs factor
+    cancels in cos(a,b) = Σ(ca·cb) / (√Σca² · √Σcb²) — only the integer
+    code dot and the stored ``code_norm`` = √Σcode² matter. Zero-norm
+    vectors are dropped (the repo-wide similarity convention)."""
+
+    def kernel(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for b in batches:
+            if not len(b):
+                continue
+            codes, norms = [], []
+            for x in b["_emb"]:
+                v = np.asarray(x, dtype=np.float64)
+                s = np.abs(v).max()
+                c = np.round(v / s * 127.0).astype(np.int8)
+                codes.append(c.tobytes())
+                norms.append(float(np.sqrt(float((c.astype(np.int64) ** 2).sum()))))
+            yield pd.DataFrame(
+                {id_col: b[id_col], "codes": codes, "code_norm": norms}
+            )
+
+    e = with_norm(df, vec_col).where(F.col("_norm") > 0).select(
+        F.col(id_col), F.col("_emb")
+    )
+    return e.mapInPandas(kernel, schema=f"{id_col} long, codes binary, code_norm double")
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: bool = True,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """(query_id, rank, neighbor_id, cos_sim) — exhaustive int8 scan +
+    exact rerank: the SQ8 twin of :func:`brute_force_topk`.
+
+    Shape: the corpus is scanned as packed int8 codes (4-8× fewer bytes
+    than the float column — at 100 TB the scan IS the cost); each Arrow
+    batch computes an integer code-dot matrix against the broadcast query
+    codes (one numpy int32 matmul per batch, no per-row Python) and emits
+    only its local top ``k·rerank_factor`` candidates per query. A global
+    window keeps the top candidates, and ``rerank=True`` rescores exactly
+    those few with full-precision cosine (same round-before-rank
+    determinism as brute force), fixing any quantization-induced order
+    flips inside the candidate set. rerank_factor trades recall for
+    candidate volume; recall vs brute force is asserted in tests."""
+    import numpy as np
+
+    topc = int(k) * int(rerank_factor)
+    qrows = quantize_embeddings(queries, id_col, vec_col).collect()
+    if not qrows:
+        raise ValueError("queries are empty (or all zero-norm)")
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    Q = np.stack([
+        np.frombuffer(bytes(r["codes"]), dtype=np.int8).astype(np.int32)
+        for r in qrows
+    ])
+    qn = np.array([r["code_norm"] for r in qrows])
+
+    def scan_kernel(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for b in batches:
+            if not len(b):
+                continue
+            C = np.stack([
+                np.frombuffer(bytes(c), dtype=np.int8).astype(np.int32)
+                for c in b["codes"]
+            ])
+            cn = b["code_norm"].to_numpy()
+            S = (C @ Q.T) / (cn[:, None] * qn[None, :])  # (batch, nq)
+            nids = b[id_col].to_numpy()
+            top = min(topc, len(nids))
+            # per-query local top candidates from this batch
+            order = np.argsort(-S, axis=0)[:top]  # (top, nq)
+            out_q, out_n, out_s = [], [], []
+            for j in range(S.shape[1]):
+                sel = order[:, j]
+                out_q.extend([int(qids[j])] * len(sel))
+                out_n.extend(nids[sel].tolist())
+                out_s.extend(S[sel, j].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "qcos": out_s}
+            )
+
+    qc = quantize_embeddings(corpus, id_col, vec_col)
+    local = qc.mapInPandas(
+        scan_kernel, schema="query_id long, neighbor_id long, qcos double"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("qcos", 9)), F.asc("neighbor_id")
+    )
+    cand = (
+        local.select("*", F.row_number().over(w).alias("_r"))
+        .where(F.col("_r") <= topc)
+        .select("query_id", "neighbor_id", "qcos")
+    )
+    if not rerank:
+        wq = Window.partitionBy("query_id").orderBy(
+            F.desc(F.round("qcos", 9)), F.asc("neighbor_id")
+        )
+        return (
+            cand.select("*", F.row_number().over(wq).alias("rank"))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    "neighbor_id", F.round("qcos", 6).alias("cos_sim"))
+        )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_emb").alias("c_emb"), F.col("_norm").alias("c_n"),
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_emb").alias("q_emb"), F.col("_norm").alias("q_n"),
+    )
+    exact = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_n") * F.col("c_n")),
+                9,
+            ).alias("cs"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    return (
+        exact.select("*", F.row_number().over(wr).alias("rank"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"),
+                "neighbor_id", F.round("cs", 6).alias("cos_sim"))
+    )
