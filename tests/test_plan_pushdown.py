@@ -57,3 +57,16 @@ def test_brute_force_topk_broadcasts_query_side(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     plan = _plan(brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=3))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_quantized_topk_rerank_broadcasts_query_side(spark):
+    from triangle_counting_spark.functions.similarity import quantized_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(quantized_topk(emb, emb.where(F.col("vec_id") < 5), k=3))
+    # the exact-rerank join ships the tiny query side by broadcast, and
+    # the int8 scan stays Arrow-batched (MapInPandas), never per-row
+    # Python eval
+    assert "BroadcastExchange" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan

@@ -78,24 +78,33 @@ def test_planner_bcast_tier(spark):
     assert c.strategy == "bcast"
 
 
-def test_planner_k_branches(spark):
-    """Reference hybrid rule tc.c:1904: k > 0.7 → forward-hash analog,
-    else level-partitioned. Fixtures engineered for each branch with the
-    thresholds forced low so the k statistic decides."""
+def test_planner_beyond_memory_always_part(spark):
+    """Round 4: beyond the memory cutoff, auto never gambles on the
+    level split (its G1 wedge join exhausted shuffle disk at RMAT-22) —
+    it always takes the bounded-replication part tier, and skips the
+    BFS the k statistic would cost."""
     from triangle_counting_spark.plans.planner import choose_triangle_strategy
+
+    path = [(i, i + 1) for i in range(12)]  # k=0: old hybrid chose level
+    c = choose_triangle_strategy(make_edges(spark, path), small_edges=1, bcast_max=1)
+    assert c.strategy == "part" and c.k is None
+
+
+def test_planner_k_branches_opt_in(spark):
+    """Reference hybrid rule tc.c:1904 survives as the opt-in
+    choose_with_level: k > 0.7 → forward-hash analog, else
+    level-partitioned. Fixtures engineered for each branch with the
+    thresholds forced low so the k statistic decides."""
+    from triangle_counting_spark.plans.planner import choose_with_level
 
     # K10: BFS from min vertex puts the other 9 on level 1 →
     # horizontal = C(9,2)=36 of 45 edges → k = 0.8 > 0.7
     k10 = [(a, b) for a in range(10) for b in range(a + 1, 10)]
-    c_hi = choose_triangle_strategy(
-        make_edges(spark, k10), small_edges=1, bcast_max=1
-    )
+    c_hi = choose_with_level(make_edges(spark, k10), small_edges=1, bcast_max=1)
     assert c_hi.strategy == "part" and c_hi.k == pytest.approx(0.8)
     # path graph: every edge crosses levels → k = 0
     path = [(i, i + 1) for i in range(12)]
-    c_lo = choose_triangle_strategy(
-        make_edges(spark, path), small_edges=1, bcast_max=1
-    )
+    c_lo = choose_with_level(make_edges(spark, path), small_edges=1, bcast_max=1)
     assert c_lo.strategy == "level" and c_lo.k == pytest.approx(0.0)
 
 

@@ -115,7 +115,22 @@ def choose_triangle_strategy(
     k_cutover: float = K_CUTOVER,
     assume_canonical: bool = False,
 ) -> PlanChoice:
-    """Pick a triangle strategy from graph statistics (cheapest first)."""
+    """Pick a triangle strategy from graph statistics (cheapest first).
+
+    Beyond the memory cutoff, auto ALWAYS picks "part" (round 4,
+    measured): the reference's k-statistic cutover (tc.c:1904) routes
+    low-k graphs to the level split, but that constant was tuned for an
+    in-memory OpenMP engine — in this shuffle-based engine the level
+    tier's G1 wedge join materializes Σ_horiz crossdeg(src) rows through
+    an exchange, which is hub-product-shaped and exhausted shuffle disk
+    at RMAT-22 (m=67M, k=0.57: level FAILED with "No space left on
+    device" at ~70 GB free; part completed the same graph in 184 s,
+    2,948,949,366 triangles). "level" remains an explicitly-requestable
+    strategy (reference parity, exact, oracle-gated at test scale) —
+    auto just never gambles on it. Skipping the k-statistic also saves
+    auto one full BFS on every beyond-memory graph; ``k_cutover`` is
+    retained for signature compatibility and opt-in experiments via
+    :func:`choose_with_level`."""
     ce = edges if assume_canonical else canonical_edges(edges)
     m = ce.count()
     if bcast_max is None:
@@ -126,15 +141,38 @@ def choose_triangle_strategy(
         return PlanChoice(
             "bcast", m, None, f"m={m} <= {bcast_max}: oriented CSR fits memory"
         )
-    # beyond-memory: the reference's k-statistic cutover (tc.c:1904) —
-    # computing k costs one BFS, the same price compute_k pays
+    return PlanChoice(
+        "part", m, None,
+        f"m={m} > {bcast_max}: co-grouped CSR blocks (bounded replication; "
+        "level's wedge-join shuffle is hub-product-shaped — see docstring)",
+    )
+
+
+def choose_with_level(
+    edges: DataFrame,
+    small_edges: int = SMALL_GRAPH_EDGES,
+    bcast_max: int | None = None,
+    k_cutover: float = K_CUTOVER,
+    assume_canonical: bool = False,
+) -> PlanChoice:
+    """The pre-r4 reference-faithful hybrid (tc.c:1904): beyond memory,
+    compute the horizontal-edge fraction k (one BFS) and route k <=
+    k_cutover to the level split. Kept for experiments and parity runs;
+    auto no longer uses it (see :func:`choose_triangle_strategy`)."""
+    ce = edges if assume_canonical else canonical_edges(edges)
+    base = choose_triangle_strategy(
+        ce, small_edges, bcast_max, k_cutover, assume_canonical=True
+    )
+    if base.strategy != "part":
+        return base
     from ..operators.bfs import k_metric
 
     k = float(k_metric(ce).collect()[0]["k"])
     if k > k_cutover:
         return PlanChoice(
-            "part", m, k, f"k={k:.3f} > {k_cutover} → forward-hash analog (tc.c:1904)"
+            "part", base.m, k,
+            f"k={k:.3f} > {k_cutover} → forward-hash analog (tc.c:1904)",
         )
     return PlanChoice(
-        "level", m, k, f"k={k:.3f} <= {k_cutover} → level-partitioned (tc.c:1904)"
+        "level", base.m, k, f"k={k:.3f} <= {k_cutover} → level-partitioned (tc.c:1904)"
     )
