@@ -129,8 +129,12 @@ def loop(
     or ``max_iter``.
 
     ``delta_fn`` returns the convergence metric (e.g. max |rank delta| for
-    PageRank, #changed labels for CC/LP); it is also the per-iteration
-    barrier that materializes the new state.
+    PageRank, #changed labels for CC/LP). ``tol < 0`` means "run exactly
+    max_iter iterations" (the fixed-iteration oracle variants) — then the
+    delta job is SKIPPED entirely: the eager localCheckpoint is already
+    the materialization barrier, and the convergence test can never fire,
+    so computing delta would re-scan the whole state once per iteration
+    for nothing (at 10^9+ vertices that is a full extra pass each round).
     """
     spark = state.sparkSession
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -173,7 +177,10 @@ def loop(
     for i in range(start_iter + 1, max_iter + 1):
         t0 = time.time()
         new_state = step(state, i).localCheckpoint(eager=True)
-        delta = float(delta_fn(state, new_state, i))
+        if tol < 0:
+            delta = float("inf")  # fixed-iteration mode: no delta job
+        else:
+            delta = float(delta_fn(state, new_state, i))
         wall = time.time() - t0
         m = {"iteration": i, "delta": delta, "sec": wall, "run_id": run_id}
         state = new_state
