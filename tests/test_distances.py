@@ -130,3 +130,78 @@ def test_sssp_rejects_nonpositive_weights(spark):
     e = _wedges(spark, [(0, 1, 0.0)])
     with pytest.raises(ValueError, match="positive"):
         sssp(e, root=0, tier="blocked")
+
+
+# ------------------------------------------------------------- centrality
+
+
+def _exact_centrality(adj_edges, n_roots_all=True):
+    """Python oracle: exact harmonic/closeness when every vertex is a root
+    (k = n ⇒ the sampling estimator collapses to the exact definition)."""
+    verts = sorted({v for e in adj_edges for v in e})
+    n = len(verts)
+    sym = {}
+    for a, b in adj_edges:
+        sym.setdefault(a, set()).add(b)
+        sym.setdefault(b, set()).add(a)
+    import collections
+
+    out = {}
+    for v in verts:
+        # BFS from v (undirected: d(root, v) == d(v, root))
+        dist = {v: 0}
+        q = collections.deque([v])
+        while q:
+            u = q.popleft()
+            for w in sym.get(u, ()):
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        reach = [d for d in dist.values() if d > 0]
+        # with k = n the estimators collapse to the textbook definitions:
+        # harmonic = Σ 1/d; closeness = ((r-1)/(n-1)) · ((r-1)/Σd)  (W-F)
+        h = sum(1.0 / d for d in reach)
+        r1 = len(reach)  # r - 1: vertices other than v that reach v
+        c = (r1 / (n - 1)) * (r1 / sum(reach)) if reach else 0.0
+        out[v] = (round(h, 6), round(c, 6))
+    return out
+
+
+def test_centrality_exact_when_all_roots(spark):
+    from triangle_counting_spark.operators.distances import centrality
+
+    edges = [(0, 1), (1, 2), (2, 3), (1, 3), (4, 5)]  # two components
+    e = make_edges(spark, edges)
+    want = _exact_centrality(edges)
+    for tier in ("blocked", "shuffle"):
+        got = {r.v: (r.harmonic, r.closeness) for r in centrality(e, n_roots=6, tier=tier).collect()}
+        assert got == pytest.approx(want), tier
+
+
+def test_centrality_star_center_highest(spark):
+    from triangle_counting_spark.operators.distances import centrality
+
+    star = [(0, i) for i in range(1, 8)]
+    got = {r.v: r.harmonic for r in centrality(make_edges(spark, star), n_roots=8).collect()}
+    assert got[0] == max(got.values())
+    assert all(got[0] > got[i] for i in range(1, 8))
+
+
+def test_centrality_isolated_sample_scores_zero(spark):
+    from triangle_counting_spark.operators.distances import centrality
+
+    # n_roots=1: the md5-min root reaches only its own component; the other
+    # component's vertices get no positive-distance rows → 0.0 (not NULL)
+    e = make_edges(spark, [(0, 1), (10, 11)])
+    rows = centrality(e, n_roots=1).collect()
+    assert len(rows) == 4
+    assert all(r.harmonic >= 0.0 and r.closeness >= 0.0 for r in rows)
+    assert any(r.harmonic == 0.0 for r in rows)
+
+
+def test_centrality_facade(spark):
+    from triangle_counting_spark.graph import Graph
+
+    g = Graph(make_edges(spark, PATH6))
+    rows = g.centrality(n_roots=6).collect()
+    assert {r.v for r in rows} == set(range(6))

@@ -123,6 +123,11 @@ class Graph:
 
         return distance_stats(self.edges, n_roots=n_roots, tier=tier)
 
+    def centrality(self, n_roots: int = 16, tier: str = "auto") -> DataFrame:
+        from .operators.distances import centrality
+
+        return centrality(self.edges, n_roots=n_roots, tier=tier)
+
     def sssp(self, root: int | None = None, tier: str = "auto") -> DataFrame:
         """Unit-weight shortest paths (== BFS distances) from the facade's
         canonical edge table. ``__init__`` dropped any weight column (same

@@ -163,6 +163,66 @@ def distance_stats(
     )
 
 
+def centrality(
+    edges: DataFrame, n_roots: int = 16, tier: str = "auto"
+) -> DataFrame:
+    """(v, harmonic, closeness) — sampled-source centrality per vertex.
+
+    Built entirely on :func:`sampled_distances` (exact BFS from the
+    md5-sampled roots), so the estimate is deterministic and replays in
+    ANSI SQL the same way distance_stats does. Estimators (Eppstein-Wang
+    sampling scheme, distances measured FROM the sampled roots):
+
+    - harmonic(v)  = n/k · Σ_{root: 0<d} 1/d(root, v) — the
+      disconnect-robust form (unreachable roots contribute 0, no ∞);
+      each non-v vertex is a root with probability k/n, so n/k is the
+      unbiased scale, and with k=n this IS exact harmonic centrality.
+    - closeness(v) = (r̂/(n-1)) · (k_reach/Σd) with r̂ = (n/k)·k_reach
+      (estimated count of vertices that reach v) — Wasserman-Faust
+      closeness, exact when k=n: ((r-1)/(n-1))·((r-1)/Σ_all d). The
+      (r-1)/(n-1) factor keeps tiny components from getting inflated
+      scores. Vertices reached only by themselves score 0.
+
+    One groupBy over the (root, v, dist) table — the BFS loop is the
+    entire cost; the estimator adds a single shuffle on v. At web scale
+    k stays O(100) while n is billions: state is k·n rows, the same
+    bound sampled_distances already carries.
+    """
+    ce = canonical_edges(edges)
+    verts = (
+        ce.select(F.col(SRC).alias("v")).union(ce.select(F.col(DST).alias("v"))).distinct()
+    )
+    n = verts.count()
+    d = sampled_distances(ce, n_roots=n_roots, tier=tier)
+    k = d.select("root").distinct().count()  # roots actually present
+    if k == 0 or n <= 1:
+        return verts.select(
+            "v", F.lit(0.0).alias("harmonic"), F.lit(0.0).alias("closeness")
+        )
+    scale = float(n) / float(k)
+    agg = d.where(F.col("dist") > 0).groupBy("v").agg(
+        F.sum(1.0 / F.col("dist")).alias("_hsum"),
+        F.sum(F.col("dist").cast("double")).alias("_dsum"),
+        F.count(F.lit(1)).alias("_k_reach"),
+    )
+    # every vertex gets a row (isolated-in-sample vertices score 0)
+    reach_hat = F.lit(scale) * F.col("_k_reach")
+    return (
+        verts.join(agg, "v", "left")
+        .select(
+            "v",
+            F.round(F.coalesce(F.col("_hsum") * scale, F.lit(0.0)), 6).alias("harmonic"),
+            F.round(
+                F.coalesce(
+                    (reach_hat / (n - 1.0)) * (F.col("_k_reach") / F.col("_dsum")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("closeness"),
+        )
+    )
+
+
 def sssp(
     edges: DataFrame,
     root: int | None = None,
