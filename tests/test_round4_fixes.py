@@ -110,3 +110,29 @@ def test_clustering_coefficient_single_canonicalization(spark):
     path = _path_edges(spark, 3)
     got = clustering_coefficient(path).collect()[0]["global_clustering"]
     assert got == pytest.approx(0.0)
+
+
+def test_level_banded_g1_is_exact(spark):
+    """Forcing the banded G1 wedge join (the RMAT-22 shuffle-wall fix:
+    horizontal edges split into K hash-bands, one bounded join per band)
+    must give the same exact count as the single-shot join and as bcast —
+    bands partition the horizontal edges, so every 1-horizontal triangle
+    is counted in exactly one band."""
+    from triangle_counting_spark.operators.triangles import triangle_count
+    from triangle_counting_spark.sources.rmat import rmat_edges
+
+    e = rmat_edges(spark, scale=10, edge_factor=8, seed=7)
+    want = triangle_count(e, "bcast").collect()[0]["triangles"]
+    confs = {"spark.tcs.levelBands": "7"}
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        got = triangle_count(e, "level").collect()[0]["triangles"]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert got == want

@@ -710,13 +710,76 @@ def _count_level(edges: DataFrame) -> DataFrame:
                 triangle_count(horiz, g0_strategy, assume_canonical=True)
                 .collect()[0]["triangles"]
             )
-        # G1 kernel: wedge join restricted to cross edges
-        cross_sym = symmetrize(cross)
-        wedges = horiz.join(
-            cross_sym.select(SRC, F.col(DST).alias("x")), SRC
-        )
-        member = cross_sym.select(F.col(SRC).alias(DST), F.col(DST).alias("x"))
-        c1 = wedges.join(member, [DST, "x"]).count()
+        # G1 kernel: wedge join restricted to cross edges. The wedge side
+        # is Σ_horiz crossdeg(src) rows — hub-product-shaped on skewed
+        # graphs, and materialized THROUGH an exchange: at RMAT-22 a
+        # single-shot join spilled past the box's free disk (round-4
+        # BASELINE.md stress run). So beyond a size cutoff the horizontal
+        # edges are split into K hash-bands and the join runs once per
+        # band: counts are exact (bands partition horiz; each wedge
+        # belongs to exactly one band via its horizontal edge) and peak
+        # shuffle-spill per job drops to ~1/K of the total, bounded by
+        # ``spark.tcs.levelBandBytes`` (default 16 GiB; explicit band count
+        # via ``spark.tcs.levelBands``). The cross side is
+        # re-shuffled per band — K·O(m) extra work traded for a disk
+        # ceiling that no longer scales with hub-degree products.
+        cross_sym = symmetrize(cross).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            member = cross_sym.select(
+                F.col(SRC).alias(DST), F.col(DST).alias("x")
+            )
+            n_bands = 1
+            forced = spark.conf.get("spark.tcs.levelBands", None)
+            if forced is not None:
+                n_bands = max(1, int(forced))
+            elif m_h >= int(
+                spark.conf.get("spark.tcs.levelBandMinEdges", "5000000")
+            ):
+                # wedge-volume estimate from degree statistics: one small
+                # agg (crossdeg is |V|-sized) + one sum over horiz
+                crossdeg = cross_sym.groupBy(SRC).agg(
+                    F.count(F.lit(1)).alias("_cd")
+                )
+                w_est = (
+                    horiz.join(crossdeg, SRC, "left")
+                    .agg(F.coalesce(F.sum("_cd"), F.lit(0)))
+                    .collect()[0][0]
+                )
+                band_bytes = int(
+                    spark.conf.get(
+                        "spark.tcs.levelBandBytes", str(16 << 30)
+                    )
+                )
+                # ~24 B/wedge row through the exchange (3 ids + overhead)
+                n_bands = max(1, min(256, -(-int(w_est) * 24 // band_bytes)))
+            if n_bands == 1:
+                wedges = horiz.join(
+                    cross_sym.select(SRC, F.col(DST).alias("x")), SRC
+                )
+                c1 = wedges.join(member, [DST, "x"]).count()
+            else:
+                band = F.pmod(F.xxhash64(SRC, DST), F.lit(n_bands))
+                hb = horiz.select(SRC, DST, band.alias("_band")).persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+                try:
+                    c1 = 0
+                    for b in range(n_bands):
+                        wedges = (
+                            hb.where(F.col("_band") == b)
+                            .select(SRC, DST)
+                            .join(
+                                cross_sym.select(
+                                    SRC, F.col(DST).alias("x")
+                                ),
+                                SRC,
+                            )
+                        )
+                        c1 += wedges.join(member, [DST, "x"]).count()
+                finally:
+                    hb.unpersist()
+        finally:
+            cross_sym.unpersist()
     finally:
         labeled.unpersist()
     return spark.createDataFrame([(int(c1 + c2),)], "triangles long")
