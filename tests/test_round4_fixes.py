@@ -136,3 +136,21 @@ def test_level_banded_g1_is_exact(spark):
             else:
                 spark.conf.set(k, v)
     assert got == want
+
+
+def test_max_result_size_matches_blocked_tier_model(spark, monkeypatch):
+    """The session factory must size spark.driver.maxResultSize to the
+    same heap-derived model as the planner's blocked-tier cutoff — Spark's
+    1 GiB default kills the sanctioned blocked-tier collect at ~62M+
+    edges (measured at RMAT-22)."""
+    from triangle_counting_spark.session import _max_result_bytes
+
+    monkeypatch.setenv("SPARK_DRIVER_MEMORY", "48g")
+    assert _max_result_bytes() == 48 * 1024**3 // 8
+    monkeypatch.setenv("SPARK_DRIVER_MEMORY", "8g")
+    assert _max_result_bytes() == 2 * 1024**3  # floor
+    monkeypatch.setenv("SPARK_DRIVER_MEMORY", "bogus")
+    assert _max_result_bytes() == 2 * 1024**3
+    # and the live session carries it (≥ the 2 GiB floor, not Spark's 1g)
+    assert int(spark.conf.get("spark.driver.maxResultSize").rstrip("b")) >= 2 * 1024**3 or \
+        spark.conf.get("spark.driver.maxResultSize") == str(2 * 1024**3)

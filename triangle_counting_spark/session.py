@@ -41,6 +41,18 @@ def iceberg_conf(
     }
 
 
+def _max_result_bytes(floor: int = 2 * 1024**3) -> int:
+    """driver heap / 8 (floor 2 GiB) — keeps ``spark.driver.maxResultSize``
+    consistent with the planner's heap-derived blocked-tier cutoff."""
+    raw = os.environ.get("SPARK_DRIVER_MEMORY", "8g").strip().lower()
+    unit = 1024**3 if raw.endswith("g") else 1024**2 if raw.endswith("m") else 1
+    try:
+        heap = int(float(raw.rstrip("gm"))) * unit
+    except ValueError:
+        return floor
+    return max(floor, heap // 8)
+
+
 def get_spark(
     app_name: str = "triangle-counting-spark",
     master: str | None = None,
@@ -82,6 +94,17 @@ def get_spark(
         # to amortize task startup. Raise for pure-columnar narrow scans.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # the blocked/bcast tiers COLLECT up to bcast_max_edges × 16 B ≈
+        # heap/10 by design (plans/planner.py) — Spark's 1 GiB
+        # maxResultSize default contradicts that memory model and kills
+        # the sanctioned collect at ~62M+ edges on a big-heap box
+        # (measured: RMAT-22 bfs blocked tier, 67M edges → 1045 MiB
+        # result > 1024 MiB cap). Size it to the same model: heap/8,
+        # floor 2 GiB, env-overridable via SPARK_GRAFT_MAX_RESULT.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", str(_max_result_bytes())),
+        )
         # pin the session tz: epoch arithmetic over TIMESTAMP_NTZ columns
         # (sessionize, event windows) interprets naive timestamps in the
         # SESSION zone — unpinned, results shift by the host's UTC offset
