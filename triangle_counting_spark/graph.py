@@ -128,6 +128,11 @@ class Graph:
 
         return centrality(self.edges, n_roots=n_roots, tier=tier)
 
+    def betweenness(self, n_roots: int = 16, tier: str = "auto") -> DataFrame:
+        from .operators.betweenness import betweenness
+
+        return betweenness(self.edges, n_roots=n_roots, tier=tier)
+
     def sssp(self, root: int | None = None, tier: str = "auto") -> DataFrame:
         """Unit-weight shortest paths (== BFS distances) from the facade's
         canonical edge table. ``__init__`` dropped any weight column (same
