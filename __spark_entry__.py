@@ -146,6 +146,34 @@ tele AS (
     )
 
 
+def _coreness_sql(rounds: int) -> str:
+    """Unrolled h-index fixpoint replay (operators/subgraphs.py:coreness):
+    c0 = degree; each round, per vertex, h-index of neighbor values via
+    grouped counts + cumulative count over value DESC. Rounds past the
+    fixpoint are idempotent, so the bound only needs to be ≥ the engine's
+    convergence round (asserted in tests/test_coreness.py). Both engine
+    tiers replicate as literal tier rows (connected_components pattern)."""
+    its = ["c0 AS MATERIALIZED (SELECT v, degree::BIGINT AS c FROM deg)"]
+    for i in range(1, rounds + 1):
+        its.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT v, MAX(LEAST(c, cum))::BIGINT AS c FROM (
+    SELECT g.v, g.c,
+           SUM(g.k) OVER (PARTITION BY g.v ORDER BY g.c DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM (SELECT sym.src AS v, p.c AS c, COUNT(*)::BIGINT AS k
+          FROM sym JOIN c{i - 1} p ON sym.dst = p.v GROUP BY 1, 2) g
+  ) GROUP BY v
+)"""
+        )
+    return (
+        "WITH " + EDGES_CTE + ",\n" + ",\n".join(its)
+        + f"""
+SELECT t.tier, c.v, c.c AS coreness FROM c{rounds} c
+CROSS JOIN (VALUES ('blocked'), ('shuffle')) t(tier)"""
+    )
+
+
 def _labelprop_sql() -> str:
     its = ["l0 AS (SELECT v, v AS label FROM verts)"]
     for i in range(1, LP_ITERS + 1):
@@ -256,6 +284,11 @@ _STOPWORDS_SQL = "['the','a','of','and','to','in','is','it','for','on']"
 
 KCORE_K = 80
 KTRUSS_K = 12
+# h-index rounds unrolled in the coreness oracle. Measured: the sf0.01
+# part graph converges in 19 rounds (sf0.001 in fewer); extra rounds are
+# idempotent at the fixpoint, so the margin only costs oracle runtime.
+# tests/test_coreness.py asserts the engine converges within this bound.
+CORENESS_ORACLE_ROUNDS = 26
 _PEEL_ROUNDS = 8  # fixpoint at sf0.01 is 4 (core) / 5 (truss); peeling is
 #                  idempotent at the fixpoint, so extra unrolled rounds are
 #                  harmless — the margin covers fixture drift
@@ -375,6 +408,23 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ktruss_edges(_edges(spark, sf_dir), KTRUSS_K)
 
 
+def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core decomposition via the h-index fixpoint — BOTH tiers under one
+    gate (tier literal column, the connected_components pattern), so the
+    driver verifies the in-memory CSR sweep and the shuffle loop against
+    the same unrolled-rounds SQL replay. Integer fixpoint — bit-exact."""
+    from triangle_counting_spark.operators.subgraphs import coreness, coreness_blocked
+
+    e = _edges(spark, sf_dir)
+    blocked = coreness_blocked(e).state.select(
+        F.lit("blocked").alias("tier"), "v", "coreness"
+    )
+    shuffle = coreness(e, max_iter=CORENESS_ORACLE_ROUNDS).state.select(
+        F.lit("shuffle").alias("tier"), "v", "coreness"
+    )
+    return blocked.union(shuffle)
+
+
 def q_triangle_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental count under inserts: split the edge set ~85/15 by an
     md5-prefix (replayable in SQL), treat the 15% as Δ, and count the
@@ -427,9 +477,17 @@ def q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-row degree summary + the √n heavy-vertex fraction (ipynb 25)
-    in one gate (both single-row over the same degree table)."""
-    from triangle_counting_spark.operators.stats import degree_stats, sqrt_n_fraction
+    """Single-row stat panel: degree summary + √n heavy-vertex fraction
+    (ipynb 25) + degree assortativity + power-law tail MLE. The four
+    single-row stats share one gate (r4: the former separate
+    ``graph_metrics`` gate merged in to fit ``coreness`` inside the
+    driver's 50-query budget — all columns still value-hashed)."""
+    from triangle_counting_spark.operators.stats import (
+        degree_assortativity,
+        degree_stats,
+        power_law_alpha,
+        sqrt_n_fraction,
+    )
 
     e = _edges(spark, sf_dir)
     s = degree_stats(e).select(
@@ -441,19 +499,11 @@ def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("heavy_threshold", 6).alias("heavy_threshold"),
     )
     frac = sqrt_n_fraction(e).select(F.round("fraction", 6).alias("sqrt_n_fraction"))
-    return s.crossJoin(frac)
-
-
-def q_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-row graph-shape metrics in one gate: degree assortativity
-    (Pearson over edge-endpoint degrees) + power-law tail MLE."""
-    from triangle_counting_spark.operators.stats import (
-        degree_assortativity,
-        power_law_alpha,
+    return (
+        s.crossJoin(frac)
+        .crossJoin(degree_assortativity(e))
+        .crossJoin(power_law_alpha(e, dmin=5))
     )
-
-    e = _edges(spark, sf_dir)
-    return degree_assortativity(e).crossJoin(power_law_alpha(e, dmin=5))
 
 
 def q_wedge_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -946,13 +996,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_strategies": q_triangle_strategies,
         "kcore": q_kcore,
         "ktruss": q_ktruss,
+        "coreness": q_coreness,
         "triangle_delta": q_triangle_delta,
         "streaming_triangles": q_streaming_triangles,
         "triangle_estimate": q_triangle_estimate,
         "triangles_per_vertex": q_triangles_per_vertex,
         "degrees": q_degrees,
         "degree_stats": q_degree_stats,
-        "graph_metrics": q_graph_metrics,
         "wedge_count": q_wedge_count,
         "pagerank": q_pagerank,
         "pagerank_weighted": q_pagerank_weighted,
@@ -1024,22 +1074,19 @@ SELECT v, COUNT(*)::BIGINT AS triangles FROM corners GROUP BY v"""
         "degree_stats": (
             "WITH "
             + EDGES_CTE
-            + """
-SELECT COUNT(*)::BIGINT AS n,
-       (SUM(degree)/2)::BIGINT AS m,
-       ROUND(AVG(degree), 6) AS mean_degree,
-       ROUND(STDDEV_POP(degree), 6) AS stddev_degree,
-       MAX(degree)::BIGINT AS max_degree,
-       ROUND(AVG(degree) + 2*STDDEV_POP(degree), 6) AS heavy_threshold,
-       ROUND(
-         SUM(CASE WHEN degree >= sqrt((SELECT COUNT(*) FROM verts)) THEN 1 ELSE 0 END)
-         / COUNT(*), 6) AS sqrt_n_fraction
-FROM deg"""
-        ),
-        "graph_metrics": (
-            "WITH "
-            + EDGES_CTE
             + """,
+s AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         (SUM(degree)/2)::BIGINT AS m,
+         ROUND(AVG(degree), 6) AS mean_degree,
+         ROUND(STDDEV_POP(degree), 6) AS stddev_degree,
+         MAX(degree)::BIGINT AS max_degree,
+         ROUND(AVG(degree) + 2*STDDEV_POP(degree), 6) AS heavy_threshold,
+         ROUND(
+           SUM(CASE WHEN degree >= sqrt((SELECT COUNT(*) FROM verts)) THEN 1 ELSE 0 END)
+           / COUNT(*), 6) AS sqrt_n_fraction
+  FROM deg
+),
 a AS (
   SELECT ROUND(CORR(CAST(du.degree AS DOUBLE), CAST(dv.degree AS DOUBLE)), 6)
          AS assortativity
@@ -1050,8 +1097,10 @@ p AS (
          COUNT(*)::BIGINT AS n_tail
   FROM deg WHERE degree >= 5
 )
-SELECT a.assortativity, p.alpha, p.n_tail FROM a CROSS JOIN p"""
+SELECT s.*, a.assortativity, p.alpha, p.n_tail
+FROM s CROSS JOIN a CROSS JOIN p"""
         ),
+        "coreness": _coreness_sql(CORENESS_ORACLE_ROUNDS),
         "wedge_count": (
             "WITH "
             + EDGES_CTE

@@ -278,6 +278,14 @@ class Graph:
 
         return Graph(ktruss_edges(self.edges, k), assume_canonical=True)
 
+    def coreness(self, tier: str = "auto") -> DataFrame:
+        """(v, coreness) — every vertex's core number (h-index fixpoint)."""
+        from .operators.subgraphs import coreness, coreness_blocked
+
+        t = self._tier(tier)
+        op = coreness_blocked if t == "blocked" else coreness
+        return op(self.edges).state
+
     def plan(self):
         """The statistic-driven strategy choice (tc_bader_hybrid analog)."""
         from .plans.planner import choose_triangle_strategy

@@ -1,4 +1,4 @@
-"""Dense-subgraph peeling operators — k-core and k-truss.
+"""Dense-subgraph peeling operators — k-core, k-truss, and coreness.
 
 Classic link-graph reductions built from the engine's own primitives
 (degrees / wedge joins), the standard precursors to community mining on
@@ -9,6 +9,14 @@ two joins + an aggregate, so the plan shape is iteration-safe at scale
 
 - k-core  (vertex peel): the maximal subgraph where every vertex has
   degree ≥ k within the subgraph.
+- coreness (core decomposition): EVERY vertex's core number in one job —
+  the largest k such that the vertex survives the k-core peel — via the
+  h-index fixpoint (Lü et al., Nature Comms 2016): c⁰(v)=deg(v),
+  cᵗ⁺¹(v)=H({cᵗ(u): u∈N(v)}), monotone non-increasing, fixpoint = core
+  number. Unlike sequential min-degree peeling (inherently a priority
+  queue, unparallelizable), every h-index round is one join + one
+  aggregate over all vertices at once — the right shape for a shuffle
+  engine, and SQL-replayable by unrolling rounds.
 - k-truss (edge peel):   the maximal subgraph where every edge closes
   ≥ k-2 triangles within the subgraph (support = common neighbors).
   Support uses the ROW-based wedge join (no adjacency arrays — hub-safe,
@@ -117,3 +125,138 @@ def ktruss_edges(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
             recomputed.select(SRC, DST, "support")
         ).localCheckpoint(eager=True)
     return cur.select(SRC, DST)
+
+
+def coreness(
+    edges: DataFrame,
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 10,
+    run_id: str | None = None,
+    resume: bool = True,
+) -> "LoopResult":
+    """Core decomposition, shuffle tier: LoopResult whose state is
+    ``(v: long, coreness: long)``.
+
+    h-index fixpoint — per round, each vertex's value becomes the h-index
+    of its neighbors' values (the largest h such that ≥ h neighbors hold
+    value ≥ h). Initialised at degree; monotone non-increasing; fixpoint
+    is exactly the core number (v survives the k-core peel iff
+    coreness(v) ≥ k — pinned against :func:`kcore_edges` in tests).
+
+    Plan per round: sym ⋈ state (shuffle on vertex id) →
+    groupBy(v, value).count → cumulative count over value DESC (window on
+    grouped rows, ≤ #distinct neighbor values per vertex, not per edge) →
+    h = max(least(value, cum)). Integer-exact end to end, so both tiers
+    and the SQL replay agree bit-for-bit. Reference anchor: the peel
+    threshold semantics of graph.c:207-234 degree ordering generalised to
+    all k at once.
+    """
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from ..plans.iterate import loop
+
+    _nshuf = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    ce = canonical_edges(edges)
+    # joined every round — persist pre-partitioned on SRC so each round
+    # only shuffles the (much smaller) state table (labelprop.py note)
+    sym = symmetrize(ce).repartition(_nshuf, SRC).persist(StorageLevel.MEMORY_AND_DISK)
+    state0 = degrees(ce).select(
+        "v", F.col("degree").alias("c"), F.col("degree").alias("c_prev")
+    )
+
+    w = (
+        Window.partitionBy("v")
+        .orderBy(F.col("c").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        nbr_vals = sym.join(
+            state.select(F.col("v").alias(SRC), "c"), SRC
+        ).select(F.col(DST).alias("v"), "c")
+        grouped = nbr_vals.groupBy("v", "c").agg(F.count(F.lit(1)).alias("k"))
+        h = (
+            grouped.withColumn("cum", F.sum("k").over(w))
+            .groupBy("v")
+            .agg(F.max(F.least(F.col("c"), F.col("cum"))).alias("c_new"))
+        )
+        return state.select("v", F.col("c").alias("c_prev")).join(h, "v").select(
+            "v", F.col("c_new").alias("c"), "c_prev"
+        )
+
+    def delta_fn(_old: DataFrame, new: DataFrame, _i: int) -> float:
+        return float(new.where(F.col("c") != F.col("c_prev")).count())
+
+    result = loop(
+        state0,
+        step,
+        delta_fn,
+        tol=0.0,
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        run_id=run_id,
+        fingerprint="coreness|hindex",
+        resume=resume,
+    )
+    sym.unpersist()
+    result.state = result.state.select("v", F.col("c").alias("coreness"))
+    return result
+
+
+def coreness_blocked(edges: DataFrame, max_iter: int = 10_000) -> "LoopResult":
+    """Core decomposition, in-memory tier: same h-index fixpoint swept over
+    a driver-local CSR with vectorized numpy rounds (sort neighbor values
+    per adjacency segment, rank within segment, h = segment-max of
+    min(value, rank)). O(m log deg) per round, zero shuffles — the tier
+    :func:`~triangle_counting_spark.plans.planner.choose_iterative_tier`
+    picks while the graph fits memory, exactly like the CC/PageRank/LP
+    blocked tiers (components.py:149). Bit-identical to :func:`coreness`
+    (same integer fixpoint)."""
+    import numpy as np
+
+    from ..plans.iterate import LoopResult
+
+    spark = edges.sparkSession
+    pdf = canonical_edges(edges).toPandas()
+    if len(pdf) == 0:
+        empty = spark.createDataFrame([], "v long, coreness long")
+        return LoopResult(state=empty, iterations=0, converged=True, delta=0.0)
+
+    src = pdf[SRC].to_numpy(np.int64)
+    dst = pdf[DST].to_numpy(np.int64)
+    verts, codes = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    n = len(verts)
+    cs, cd = codes[: len(src)], codes[len(src):]
+    heads = np.concatenate([cs, cd])
+    tails = np.concatenate([cd, cs])
+    order = np.argsort(heads, kind="stable")
+    heads, tails = heads[order], tails[order]
+    starts = np.searchsorted(heads, np.arange(n))          # CSR row offsets
+    seg_of = heads                                         # row id per slot
+
+    c = np.bincount(heads, minlength=n).astype(np.int64)   # c0 = degree
+    iters, converged = 0, False
+    for _ in range(max_iter):
+        vals = c[tails]
+        # per-segment descending sort: lexsort by (row, -value)
+        o = np.lexsort((-vals, seg_of))
+        vals_sorted = vals[o]
+        rank = np.arange(len(vals_sorted), dtype=np.int64) - starts[seg_of] + 1
+        contrib = np.minimum(vals_sorted, rank)
+        new = np.maximum.reduceat(contrib, starts)
+        iters += 1
+        if np.array_equal(new, c):
+            converged = True
+            break
+        c = new
+
+    import pandas as pd
+
+    out = spark.createDataFrame(
+        pd.DataFrame({"v": verts, "coreness": c.astype(np.int64)}),
+        schema="v long, coreness long",
+    )
+    return LoopResult(state=out, iterations=iters, converged=converged, delta=0.0)
