@@ -174,6 +174,52 @@ CROSS JOIN (VALUES ('blocked'), ('shuffle')) t(tier)"""
     )
 
 
+def _hyperball_sql(rounds: int) -> str:
+    """Unrolled HyperBall replay (operators/neighborhood.py): md5-seeded
+    HLL registers as (v, slot, mval) rows, per round MAX-merged over
+    neighbors ∪ self; the estimate divides one shared float literal by the
+    integer-exact register sum Σ 2^(40-M_j) so no accumulation-order
+    hazard exists (module docstring)."""
+    from triangle_counting_spark.operators.neighborhood import M, RAW_NUMERATOR
+
+    h1 = "('0x'||substr(md5(CAST(v AS VARCHAR)),1,8))::BIGINT"
+    h2 = "('0x'||substr(md5(CAST(v AS VARCHAR)),9,8))::BIGINT"
+    its = [
+        f"""g0 AS MATERIALIZED (
+  SELECT i.v, gs.slot, CASE WHEN i.j = gs.slot THEN i.rho ELSE 0 END AS mval
+  FROM (SELECT v, ({h1} % {M})::INT AS j,
+               (CASE WHEN {h2} = 0 THEN 33 ELSE 33 - length(bin({h2})) END)::INT AS rho
+        FROM verts) i
+  CROSS JOIN (SELECT unnest(range({M}))::INT AS slot) gs
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        its.append(
+            f"""g{i} AS MATERIALIZED (
+  SELECT v, slot, MAX(mval) AS mval FROM (
+    SELECT sym.src AS v, p.slot, p.mval FROM sym JOIN g{i - 1} p ON sym.dst = p.v
+    UNION ALL SELECT v, slot, mval FROM g{i - 1}
+  ) GROUP BY v, slot
+)"""
+        )
+    num = repr(RAW_NUMERATOR)
+    return (
+        "WITH " + EDGES_CTE + ",\n" + ",\n".join(its)
+        + f""",
+hagg AS (
+  SELECT v, SUM(mval)::BIGINT AS reg_sum,
+         SUM(CASE WHEN mval = 0 THEN 1 ELSE 0 END)::BIGINT AS zeros,
+         SUM(1::BIGINT << (40 - mval)) AS s_int
+  FROM g{rounds} GROUP BY v
+)
+SELECT v, reg_sum, zeros,
+  ROUND(CASE WHEN zeros > 0 AND {num} / s_int <= {2.5 * M!r}
+             THEN {float(M)!r} * ln({float(M)!r} / zeros)
+             ELSE {num} / s_int END, 6) AS ball_estimate
+FROM hagg"""
+    )
+
+
 def _labelprop_sql() -> str:
     its = ["l0 AS (SELECT v, v AS label FROM verts)"]
     for i in range(1, LP_ITERS + 1):
@@ -289,6 +335,7 @@ KTRUSS_K = 12
 # idempotent at the fixpoint, so the margin only costs oracle runtime.
 # tests/test_coreness.py asserts the engine converges within this bound.
 CORENESS_ORACLE_ROUNDS = 26
+HYPERBALL_ROUNDS = 4
 _PEEL_ROUNDS = 8  # fixpoint at sf0.01 is 4 (core) / 5 (truss); peeling is
 #                  idempotent at the fixpoint, so extra unrolled rounds are
 #                  harmless — the margin covers fixture drift
@@ -489,6 +536,8 @@ def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         sqrt_n_fraction,
     )
 
+    from triangle_counting_spark.operators.triangles import wedge_count
+
     e = _edges(spark, sf_dir)
     s = degree_stats(e).select(
         "n",
@@ -503,13 +552,17 @@ def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.crossJoin(frac)
         .crossJoin(degree_assortativity(e))
         .crossJoin(power_law_alpha(e, dmin=5))
+        .crossJoin(wedge_count(e))
     )
 
 
-def q_wedge_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from triangle_counting_spark.operators.triangles import wedge_count
+def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall ball-size estimates for every vertex at radius 4 —
+    reg_sum/zeros are the integer sketch invariants (hash-exact), the
+    estimate replays float-identically from the integer register sum."""
+    from triangle_counting_spark.operators.neighborhood import hyperball
 
-    return wedge_count(_edges(spark, sf_dir))
+    return hyperball(_edges(spark, sf_dir), rounds=HYPERBALL_ROUNDS)
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1003,7 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": q_triangles_per_vertex,
         "degrees": q_degrees,
         "degree_stats": q_degree_stats,
-        "wedge_count": q_wedge_count,
+        "hyperball": q_hyperball,
         "pagerank": q_pagerank,
         "pagerank_weighted": q_pagerank_weighted,
         "pagerank_personalized": q_pagerank_personalized,
@@ -1096,16 +1149,13 @@ p AS (
   SELECT ROUND(1.0 + COUNT(*) / SUM(LN(degree / 4.5)), 6) AS alpha,
          COUNT(*)::BIGINT AS n_tail
   FROM deg WHERE degree >= 5
-)
-SELECT s.*, a.assortativity, p.alpha, p.n_tail
-FROM s CROSS JOIN a CROSS JOIN p"""
+),
+w AS (SELECT SUM(degree*(degree-1)/2)::BIGINT AS wedges FROM deg)
+SELECT s.*, a.assortativity, p.alpha, p.n_tail, w.wedges
+FROM s CROSS JOIN a CROSS JOIN p CROSS JOIN w"""
         ),
         "coreness": _coreness_sql(CORENESS_ORACLE_ROUNDS),
-        "wedge_count": (
-            "WITH "
-            + EDGES_CTE
-            + "\nSELECT SUM(degree*(degree-1)/2)::BIGINT AS wedges FROM deg"
-        ),
+        "hyperball": _hyperball_sql(HYPERBALL_ROUNDS),
         "pagerank": _pagerank_sql(),
         "pagerank_weighted": _pagerank_weighted_sql(),
         "pagerank_personalized": _pagerank_personalized_sql(),

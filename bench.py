@@ -48,7 +48,10 @@ def main() -> None:
         pagerank_blocked,
         pagerank_fixed,
     )
-    from triangle_counting_spark.operators.subgraphs import kcore_edges
+    from triangle_counting_spark.operators.subgraphs import (
+        coreness_blocked,
+        kcore_edges,
+    )
     from triangle_counting_spark.operators.triangles import (
         triangle_count,
         triangle_count_delta,
@@ -148,6 +151,9 @@ def main() -> None:
          lambda: pagerank_fixed(state["edges"], 10).agg(F.sum("rank")).collect()),
         ("pagerank_weighted_10it", weighted_pr),
         ("kcore_80", lambda: kcore_edges(state["edges"], 80).count()),
+        ("coreness",
+         lambda: coreness_blocked(state["edges"])
+         .state.agg(F.max("coreness")).collect()),
         ("triangle_delta_15pct", delta_split),
         ("pagerank_blocked_10it",
          lambda: pagerank_blocked(

@@ -286,6 +286,26 @@ class Graph:
         op = coreness_blocked if t == "blocked" else coreness
         return op(self.edges).state
 
+    def hyperball(self, rounds: int = 4) -> DataFrame:
+        """(v, reg_sum, zeros, ball_estimate) — HLL-estimated
+        |ball(v, rounds)| for every vertex in `rounds` passes total."""
+        from .operators.neighborhood import hyperball
+
+        return hyperball(self.edges, rounds=rounds, assume_canonical=True)
+
+    def effective_diameter(self, q: float = 0.9, max_rounds: int = 16) -> float:
+        """Interpolated q-effective diameter from the HyperBall
+        neighborhood function (sketch estimate, not exact)."""
+        from .operators.neighborhood import (
+            effective_diameter,
+            neighborhood_function,
+        )
+
+        nf = neighborhood_function(
+            self.edges, max_rounds=max_rounds, assume_canonical=True
+        )
+        return effective_diameter(nf, q=q)
+
     def plan(self):
         """The statistic-driven strategy choice (tc_bader_hybrid analog)."""
         from .plans.planner import choose_triangle_strategy
