@@ -808,6 +808,7 @@ def q_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint,
         language_id_heuristic,
         quality_scores,
+        repetition_stats,
         stopword_ratio,
         token_counts,
     )
@@ -825,6 +826,7 @@ def q_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(language_id_heuristic(docs), "doc_id")
         .join(stopword_ratio(docs), "doc_id")
         .join(fp_cls, "doc_id")
+        .join(repetition_stats(docs), "doc_id")
     )
 
 
@@ -1304,11 +1306,46 @@ WITH q AS (
 g AS (
   SELECT h, MIN(doc_id)::BIGINT AS fp_keep_id, COUNT(*)::BIGINT AS fp_group_size
   FROM q GROUP BY h
+),
+rl AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         len(list_filter(string_split(text, chr(10)), x -> x != ''))::BIGINT AS n_lines,
+         len(list_distinct(list_filter(string_split(text, chr(10)), x -> x != '')))::BIGINT AS n_dlines,
+         COALESCE(list_aggregate(list_transform(
+           list_filter(string_split(text, chr(10)), x -> x != ''), x -> length(x)), 'sum'), 0)::BIGINT AS chars,
+         COALESCE(list_aggregate(list_transform(
+           list_distinct(list_filter(string_split(text, chr(10)), x -> x != '')), x -> length(x)), 'sum'), 0)::BIGINT AS dchars
+  FROM documents
+),
+rwords AS (
+  SELECT doc_id::BIGINT AS doc_id, w.word, w.pos
+  FROM documents,
+       LATERAL (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word,
+                       generate_subscripts(list_filter(string_split(text, ' '), x -> x != ''), 1) AS pos) w
+),
+rgrams AS (
+  SELECT a.doc_id, a.word || ' ' || b.word AS gram, COUNT(*)::BIGINT AS cnt
+  FROM rwords a JOIN rwords b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+rtop AS (
+  SELECT doc_id, ROUND(MAX(cnt) / SUM(cnt), 6) AS top_bigram_frac
+  FROM rgrams GROUP BY doc_id
 )
 SELECT q.doc_id, q.n_tokens, q.chars_per_token, q.type_token_ratio,
        q.ws_tokens, q.lang_pred, q.stopword_ratio,
-       g.fp_keep_id, g.fp_group_size
-FROM q JOIN g ON q.h = g.h""",
+       g.fp_keep_id, g.fp_group_size,
+       rl.n_lines,
+       ROUND(CASE WHEN rl.n_lines > 0
+                  THEN (rl.n_lines - rl.n_dlines) / rl.n_lines ELSE 0.0 END, 6)
+         AS dup_line_frac,
+       ROUND(CASE WHEN rl.chars > 0
+                  THEN (rl.chars - rl.dchars) / rl.chars ELSE 0.0 END, 6)
+         AS dup_line_char_frac,
+       COALESCE(rtop.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM q JOIN g ON q.h = g.h
+JOIN rl ON rl.doc_id = q.doc_id
+LEFT JOIN rtop ON rtop.doc_id = q.doc_id""",
         "similarity_topk": _TOPK_SQL,
         # exact-recall LSH config on the fixtures (see q_lsh_topk) →
         # the brute-force ranking is the oracle

@@ -195,3 +195,69 @@ def tf_idf(
             F.round((F.col("_n") / F.col("_len")) * idf, 6).alias("tf_idf"),
         )
     )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    top_bigram_frac) — within-document repetition signals, the standard
+    quality filters for LLM training corpora (the Gopher/MassiveText
+    repetition family): documents dominated by repeated lines or one
+    n-gram are boilerplate/spam and get filtered before training.
+
+    - dup_line_frac:      fraction of non-empty lines that are repeat
+                          occurrences of an earlier line.
+    - dup_line_char_frac: fraction of line characters in those repeat
+                          occurrences (chars beyond each line's first).
+    - top_bigram_frac:    fraction of word-bigram occurrences taken by the
+                          document's most frequent bigram.
+
+    All-JVM: array expressions for the line signals (one pass, codegen);
+    one explode+groupBy for the bigram signal (shuffle keyed on doc_id —
+    partition-count-independent, skew-free: a document's bigrams land in
+    one group). Integer counts → single division → round 6, so the SQL
+    replay is exact."""
+    doc_id = F.col(id_col).cast("long").alias("doc_id")
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != "")
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    acc0 = F.lit(0).cast("long")
+    chars = F.aggregate(lines, acc0, lambda a, x: a + F.length(x))
+    dchars = F.aggregate(F.array_distinct(lines), acc0, lambda a, x: a + F.length(x))
+    zero = F.lit(0.0)
+    line_stats = docs.select(
+        doc_id,
+        n_lines.cast("long").alias("n_lines"),
+        F.round(
+            F.when(n_lines > 0, (n_lines - n_distinct) / n_lines).otherwise(zero), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(chars > 0, (chars - dchars) / chars).otherwise(zero), 6
+        ).alias("dup_line_char_frac"),
+    )
+
+    words = F.filter(_words(text_col), lambda t: t != "")
+    idx_hi = F.size(words) - 2
+    grams = F.when(
+        idx_hi >= 0,
+        F.transform(
+            F.sequence(F.lit(0), idx_hi),
+            lambda i: F.array_join(F.slice(words, i + 1, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        docs.select(doc_id, F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = per_gram.groupBy("doc_id").agg(
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_bigram_frac")
+    )
+    return line_stats.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        F.coalesce("top_bigram_frac", zero).alias("top_bigram_frac"),
+    )
