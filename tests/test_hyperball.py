@@ -125,3 +125,20 @@ def test_path_graph_effective_diameter(spark):
     nf = neighborhood_function(e, max_rounds=n)
     d = effective_diameter(nf)
     assert 0.6 * n <= d + 1 <= n  # ~0.9n expected; wide band for HLL noise
+
+
+def test_harmonic_centrality_star_ordering(spark):
+    """Star graph: the hub's harmonic centrality must dominate the leaves
+    ((n-1)·1 vs 1 + (n-2)/2); sketch noise cannot flip that ordering."""
+    from triangle_counting_spark.operators.neighborhood import hyperball_centrality
+
+    n = 12
+    pairs = [(0, i) for i in range(1, n)]
+    e = make_edges(spark, pairs)
+    got = {r["v"]: r["harmonic_estimate"] for r in hyperball_centrality(e).collect()}
+    hub, leaves = got[0], [got[v] for v in range(1, n)]
+    assert hub > max(leaves) * 1.5
+    # leaves are symmetric up to per-vertex hash noise; all within HLL band
+    true_leaf = 1 + (n - 2) / 2
+    for x in leaves:
+        assert abs(x - true_leaf) <= 0.55 * true_leaf

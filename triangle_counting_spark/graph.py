@@ -293,6 +293,15 @@ class Graph:
 
         return hyperball(self.edges, rounds=rounds, assume_canonical=True)
 
+    def hyperball_centrality(self, max_rounds: int = 16) -> DataFrame:
+        """(v, harmonic_estimate) — sketch harmonic centrality for every
+        vertex (all-vertex complement of the exact sampled centrality())."""
+        from .operators.neighborhood import hyperball_centrality
+
+        return hyperball_centrality(
+            self.edges, max_rounds=max_rounds, assume_canonical=True
+        )
+
     def effective_diameter(self, q: float = 0.9, max_rounds: int = 16) -> float:
         """Interpolated q-effective diameter from the HyperBall
         neighborhood function (sketch estimate, not exact)."""

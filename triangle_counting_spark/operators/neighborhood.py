@@ -22,7 +22,7 @@ from an integer-exact register sum (Σ 2^(40-M_j) as a BIGINT — no
 float-accumulation-order hazard) with one shared constant, so Spark and
 DuckDB agree bit-for-bit after round-6.
 
-Register layout: m = 64 registers packed as one array<int> column per
+Register layout: m = 64 registers packed as one array<tinyint> column per
 vertex (per-round shuffle rows stay O(n), not O(64 n); the element-wise
 max-merge is 64 JVM-side MAX aggregates — no Python in the loop).
 """
@@ -50,7 +50,7 @@ def _rho32(h: F.Column) -> F.Column:
 def hyperball_registers(
     edges: DataFrame, rounds: int, assume_canonical: bool = False
 ) -> DataFrame:
-    """(v, regs: array<int>) — each vertex's HLL registers for ball(v, rounds).
+    """(v, regs: array<tinyint>) — each vertex's HLL registers for ball(v, rounds).
 
     Round = sym ⋈ state (one shuffle on vertex id) → union own sketch →
     64 MAX aggregates; eager localCheckpoint truncates lineage per round
@@ -67,16 +67,16 @@ def hyperball_registers(
     vstr = F.col("v").cast("string")
     h1 = F.conv(F.substring(F.md5(vstr), 1, 8), 16, 10).cast("long")
     h2 = F.conv(F.substring(F.md5(vstr), 9, 8), 16, 10).cast("long")
-    j, rho = (h1 % M).cast("int"), _rho32(h2).cast("int")
+    j, rho = (h1 % M).cast("int"), _rho32(h2).cast("tinyint")
     init = F.array(
         *[F.when(F.lit(i) == j, rho).otherwise(F.lit(0)).cast("int") for i in range(M)]
-    )
+    ).cast("array<tinyint>")
     state = (
         degrees(ce).select("v", init.alias("regs")).localCheckpoint(eager=True)
     )
 
     reg_cols = [F.max(F.col("regs")[i]).alias(f"_r{i}") for i in range(M)]
-    rebuild = F.array(*[F.col(f"_r{i}") for i in range(M)]).cast("array<int>")
+    rebuild = F.array(*[F.col(f"_r{i}") for i in range(M)]).cast("array<tinyint>")
     for _ in range(rounds):
         nbr = sym.join(
             state.select(F.col("v").alias(SRC), "regs"), SRC
@@ -156,7 +156,7 @@ def _one_round(ce: DataFrame, state: DataFrame) -> DataFrame:
     _nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     sym = symmetrize(ce)
     reg_cols = [F.max(F.col("regs")[i]).alias(f"_r{i}") for i in range(M)]
-    rebuild = F.array(*[F.col(f"_r{i}") for i in range(M)]).cast("array<int>")
+    rebuild = F.array(*[F.col(f"_r{i}") for i in range(M)]).cast("array<tinyint>")
     nbr = sym.join(state.select(F.col("v").alias(SRC), "regs"), SRC).select(
         F.col(DST).alias("v"), "regs"
     )
@@ -180,3 +180,42 @@ def effective_diameter(nf: list[tuple[int, float]], q: float = 0.9) -> float:
                 return float(r1)
             return r0 + (target - n0) / (n1 - n0)
     return float(nf[-1][0])
+
+
+def hyperball_centrality(
+    edges: DataFrame, max_rounds: int = 16, assume_canonical: bool = False
+) -> DataFrame:
+    """(v, harmonic_estimate) — sketch harmonic centrality for EVERY vertex:
+    Σ_r (|ball(v,r)| - |ball(v,r-1)|) / r, the estimator HyperBall was
+    built for (each distance-r shell weighted 1/r). Complements the exact
+    sampled tier (distances.py:centrality): that one is exact for k roots,
+    this one covers all n vertices in max_rounds passes at sketch accuracy.
+
+    Rounds stop early when the total estimate stops growing (< 0.1%)."""
+    ce = edges if assume_canonical else canonical_edges(edges)
+    regs = hyperball_registers(ce, 0, assume_canonical=True)
+    prev = regs.select("v", *_estimate_cols()).select(
+        "v", F.col("ball_estimate").alias("_b")
+    ).localCheckpoint(eager=True)
+    acc = prev.select("v", F.lit(0.0).alias("harmonic"))
+    prev_total = None
+    for r in range(1, max_rounds + 1):
+        regs = _one_round(ce, regs)
+        cur = regs.select("v", *_estimate_cols()).select(
+            "v", F.col("ball_estimate").alias("_b")
+        ).localCheckpoint(eager=True)
+        shell = cur.join(prev.select("v", F.col("_b").alias("_pb")), "v").select(
+            "v",
+            (F.greatest(F.col("_b") - F.col("_pb"), F.lit(0.0)) / r).alias("_s"),
+        )
+        acc = (
+            acc.join(shell, "v")
+            .select("v", (F.col("harmonic") + F.col("_s")).alias("harmonic"))
+            .localCheckpoint(eager=True)
+        )
+        total = cur.agg(F.sum("_b")).collect()[0][0]
+        if prev_total is not None and total <= prev_total * 1.001:
+            break
+        prev_total = total
+        prev = cur
+    return acc.select("v", F.round("harmonic", 6).alias("harmonic_estimate"))
