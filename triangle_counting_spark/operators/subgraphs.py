@@ -237,21 +237,67 @@ def coreness_blocked(edges: DataFrame, max_iter: int = 10_000) -> "LoopResult":
     starts = np.searchsorted(heads, np.arange(n))          # CSR row offsets
     seg_of = heads                                         # row id per slot
 
+    ends = np.append(starts[1:], len(heads))
+
+    def seg_slots(ids: np.ndarray) -> np.ndarray:
+        """Concatenated CSR slot indices of the given vertex segments —
+        O(Σ deg(ids)), the vectorized multi-range arange."""
+        counts = ends[ids] - starts[ids]
+        total = int(counts.sum())
+        step = np.ones(total, dtype=np.int64)
+        step[0] = starts[ids[0]]
+        cum = np.cumsum(counts)[:-1]
+        step[cum] = starts[ids[1:]] - (starts[ids[:-1]] + counts[:-1]) + 1
+        return np.cumsum(step)
+
     c = np.bincount(heads, minlength=n).astype(np.int64)   # c0 = degree
     iters, converged = 0, False
+    # Two optimizations over the naive "sort every adjacency list every
+    # round", both value-preserving:
+    #
+    # 1. affected-set sweep — h(v) depends only on NEIGHBOR values, so a
+    #    vertex is recomputed only when a neighbor's value moved last
+    #    round (the synchronous fixpoint is unchanged: untouched segments
+    #    see unchanged input multisets).
+    # 2. counting h-index, no sort — neighbor values are first clipped at
+    #    the vertex's own current value c_v (safe: the sequence is
+    #    monotone non-increasing from deg, so h ≤ c_v, and values above
+    #    any threshold k ≤ c_v count the same clipped or not). Then
+    #    h = max{k : #(clipped ≥ k) ≥ k} falls out of one bincount over
+    #    per-vertex bucket ranges (Σ(c_v+1) ≤ 2m+n buckets) + a segmented
+    #    suffix sum — O(Σ deg(affected)) per round, replacing the
+    #    O(m log m) lexsort (measured 9.6 s/round at RMAT-20).
+    changed_ids = np.arange(n, dtype=np.int64)
     for _ in range(max_iter):
-        vals = c[tails]
-        # per-segment descending sort: lexsort by (row, -value)
-        o = np.lexsort((-vals, seg_of))
-        vals_sorted = vals[o]
-        rank = np.arange(len(vals_sorted), dtype=np.int64) - starts[seg_of] + 1
-        contrib = np.minimum(vals_sorted, rank)
-        new = np.maximum.reduceat(contrib, starts)
-        iters += 1
-        if np.array_equal(new, c):
+        if len(changed_ids) == 0:
             converged = True
             break
-        c = new
+        # neighbors of changed = the tails over changed vertices' segments
+        aff = np.unique(tails[seg_slots(changed_ids)])
+        slots = seg_slots(aff)
+        dense = np.searchsorted(aff, heads[slots])
+        own = c[aff]
+        clipped = np.minimum(c[tails[slots]], own[dense])
+        sizes = own + 1                       # buckets k = 0..c_v per vertex
+        base = np.zeros(len(aff), dtype=np.int64)
+        np.cumsum(sizes[:-1], out=base[1:])
+        nbins = int(base[-1] + sizes[-1])
+        bins = np.bincount(base[dense] + clipped, minlength=nbins)
+        # segmented suffix sum: suffix[pos] = #(clipped >= k) for k=pos-base
+        rev = np.concatenate([np.cumsum(bins[::-1])[::-1], [0]])
+        seg_end = base + sizes
+        k_idx = np.arange(nbins, dtype=np.int64) - np.repeat(base, sizes)
+        suffix = rev[:-1] - rev[np.repeat(seg_end, sizes)]
+        new_aff = np.maximum.reduceat(
+            np.where(suffix >= k_idx, k_idx, 0), base
+        )
+        iters += 1
+        moved = new_aff != c[aff]
+        c[aff] = new_aff
+        changed_ids = aff[moved]
+        if len(changed_ids) == 0:
+            converged = True
+            break
 
     import pandas as pd
 
