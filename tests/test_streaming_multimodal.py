@@ -154,12 +154,21 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     src = "/root/testdata/sf0.001/events.parquet"
     events = spark.read.parquet(src)
     gap = 30
-    got = {
-        (r.user_id, r.session_start_epoch, r.session_end_epoch,
-         r.n_events, round(r.sum_value, 6))
-        for r in run_session_stream_demo(
-            spark, src, str(tmp_path / "sess"), gap_minutes=gap).collect()
-    }
+    # run the STREAMING side under a non-UTC session: the r3 failure mode
+    # was an NTZ wall clock interpreted in the session zone, which shifts
+    # every epoch by the UTC offset — parity here proves the streaming
+    # twin shares the batch operator's tz-proof epoch derivation
+    saved_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = {
+            (r.user_id, r.session_start_epoch, r.session_end_epoch,
+             r.n_events, round(r.sum_value, 6))
+            for r in run_session_stream_demo(
+                spark, src, str(tmp_path / "sess"), gap_minutes=gap).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved_tz)
     assert got, "stream emitted no sessions"
     # expected: batch sessions whose end + gap <= max event time (the
     # final watermark with a 0-second delay)

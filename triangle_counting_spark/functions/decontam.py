@@ -25,24 +25,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import _words
+from .text import word_ngrams
 
 
 def _doc_ngrams(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
     """(doc_id, gram) — one row per word n-gram occurrence; empty-safe for
-    docs shorter than n words (sequence(0,-1) is descending, not empty)."""
-    words = F.filter(_words(text_col), lambda t: t != "")
-    idx_hi = F.size(words) - n
-    grams = F.when(
-        idx_hi >= 0,
-        F.transform(
-            F.sequence(F.lit(0), idx_hi),
-            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    docs shorter than n words (word_ngrams carries the short-doc guard)."""
     return docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.explode(grams).alias("gram"),
+        F.explode(word_ngrams(text_col, n)).alias("gram"),
     )
 
 

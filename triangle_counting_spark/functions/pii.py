@@ -34,9 +34,10 @@ def _patterns(
 ) -> tuple[tuple[str, str], ...]:
     if patterns is None:
         return DEFAULT_PII_PATTERNS
-    if isinstance(patterns, dict):
-        return tuple(patterns.items())
-    return tuple(patterns)
+    pats = tuple(patterns.items()) if isinstance(patterns, dict) else tuple(patterns)
+    if not pats:
+        raise ValueError("patterns must be non-empty (omit for the defaults)")
+    return pats
 
 
 def pii_stats(

@@ -17,6 +17,24 @@ def _words(text_col: str):
     return F.split(F.col(text_col), " ")
 
 
+def word_ngrams(text_col: str, n: int):
+    """array<string> of the whitespace-word n-grams of ``text_col`` — ONE
+    sliding-window JVM expression shared by every n-gram consumer
+    (vocabulary, repetition, decontamination), so the short-doc guard and
+    gram text stay bit-identical everywhere the SQL oracles replay them.
+    Guard: Spark's sequence(0, -1) is a DESCENDING sequence, not empty —
+    emit an empty array when the doc has no full n-gram."""
+    words = F.filter(_words(text_col), lambda t: t != "")
+    idx_hi = F.size(words) - n
+    return F.when(
+        idx_hi >= 0,
+        F.transform(
+            F.sequence(F.lit(0), idx_hi),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def language_stats(docs: DataFrame, text_col: str = "text", lang_col: str = "lang") -> DataFrame:
     """(lang, n_docs, avg_chars, avg_tokens) — corpus profile per language."""
     return docs.groupBy(lang_col).agg(
@@ -135,17 +153,7 @@ def ngram_vocabulary(
     frequencies across the corpus (language-model / collocation
     statistics). The n-gram expansion is a pure JVM expression: transform
     over a sliding index sequence + array_join — no Python, no UDF."""
-    words = F.filter(_words(text_col), lambda t: t != "")
-    idx_hi = F.size(words) - n
-    # guard short docs: Spark's sequence(0, -1) is a DESCENDING sequence,
-    # not empty — emit an empty array when there is no full n-gram
-    grams = F.when(
-        idx_hi >= 0,
-        F.transform(
-            F.sequence(F.lit(0), idx_hi),
-            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = word_ngrams(text_col, n)
     return (
         docs.select(
             F.col(id_col).cast("long").alias("doc_id"),
@@ -237,15 +245,7 @@ def repetition_stats(
         ).alias("dup_line_char_frac"),
     )
 
-    words = F.filter(_words(text_col), lambda t: t != "")
-    idx_hi = F.size(words) - 2
-    grams = F.when(
-        idx_hi >= 0,
-        F.transform(
-            F.sequence(F.lit(0), idx_hi),
-            lambda i: F.array_join(F.slice(words, i + 1, 2), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = word_ngrams(text_col, 2)
     per_gram = (
         docs.select(doc_id, F.explode(grams).alias("gram"))
         .groupBy("doc_id", "gram")

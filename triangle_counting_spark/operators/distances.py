@@ -45,11 +45,12 @@ def sampled_distances(
     n_roots: int = 16,
     tier: str = "auto",
     max_iter: int = 256,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """(root, v, dist) — EXACT BFS distance from each sampled root to every
     vertex it reaches (including (root, root, 0)). Unreached pairs absent.
     """
-    ce = canonical_edges(edges)
+    ce = edges if assume_canonical else canonical_edges(edges)
     if tier == "auto":
         from ..plans.planner import choose_iterative_tier
 
@@ -193,7 +194,7 @@ def centrality(
         ce.select(F.col(SRC).alias("v")).union(ce.select(F.col(DST).alias("v"))).distinct()
     )
     n = verts.count()
-    d = sampled_distances(ce, n_roots=n_roots, tier=tier)
+    d = sampled_distances(ce, n_roots=n_roots, tier=tier, assume_canonical=True)
     k = d.select("root").distinct().count()  # roots actually present
     if k == 0 or n <= 1:
         return verts.select(

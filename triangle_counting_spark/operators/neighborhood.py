@@ -134,27 +134,37 @@ def neighborhood_function(
     ce = edges if assume_canonical else canonical_edges(edges)
     out: list[tuple[int, float]] = []
     regs = hyperball_registers(ce, 0, assume_canonical=True)
+    sym = _prepared_sym(ce)
     prev = None
-    for r in range(max_rounds + 1):
-        if r > 0:
-            # incremental: one more merge round on top of the kept state
-            regs = _one_round(ce, regs)
-        total = float(
-            regs.select(*_estimate_cols())
-            .agg(F.sum("ball_estimate").alias("s"))
-            .collect()[0]["s"]
-        )
-        out.append((r, total))
-        if prev is not None and total <= prev * 1.001:
-            break
-        prev = total
+    try:
+        for r in range(max_rounds + 1):
+            if r > 0:
+                # incremental: one more merge round on top of the kept state
+                regs = _one_round(sym, regs)
+            total = float(
+                regs.select(*_estimate_cols())
+                .agg(F.sum("ball_estimate").alias("s"))
+                .collect()[0]["s"]
+            )
+            out.append((r, total))
+            if prev is not None and total <= prev * 1.001:
+                break
+            prev = total
+    finally:
+        sym.unpersist()
     return out
 
 
-def _one_round(ce: DataFrame, state: DataFrame) -> DataFrame:
+def _prepared_sym(ce: DataFrame) -> DataFrame:
+    """Symmetrized edges, pre-partitioned on SRC and persisted — built ONCE
+    per round loop so each round only shuffles the (small) register table,
+    never re-derives the edge side (hyperball_registers discipline)."""
     spark = ce.sparkSession
     _nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    sym = symmetrize(ce)
+    return symmetrize(ce).repartition(_nshuf, SRC).persist()
+
+
+def _one_round(sym: DataFrame, state: DataFrame) -> DataFrame:
     reg_cols = [F.max(F.col("regs")[i]).alias(f"_r{i}") for i in range(M)]
     rebuild = F.array(*[F.col(f"_r{i}") for i in range(M)]).cast("array<tinyint>")
     nbr = sym.join(state.select(F.col("v").alias(SRC), "regs"), SRC).select(
@@ -198,24 +208,28 @@ def hyperball_centrality(
         "v", F.col("ball_estimate").alias("_b")
     ).localCheckpoint(eager=True)
     acc = prev.select("v", F.lit(0.0).alias("harmonic"))
+    sym = _prepared_sym(ce)
     prev_total = None
-    for r in range(1, max_rounds + 1):
-        regs = _one_round(ce, regs)
-        cur = regs.select("v", *_estimate_cols()).select(
-            "v", F.col("ball_estimate").alias("_b")
-        ).localCheckpoint(eager=True)
-        shell = cur.join(prev.select("v", F.col("_b").alias("_pb")), "v").select(
-            "v",
-            (F.greatest(F.col("_b") - F.col("_pb"), F.lit(0.0)) / r).alias("_s"),
-        )
-        acc = (
-            acc.join(shell, "v")
-            .select("v", (F.col("harmonic") + F.col("_s")).alias("harmonic"))
-            .localCheckpoint(eager=True)
-        )
-        total = cur.agg(F.sum("_b")).collect()[0][0]
-        if prev_total is not None and total <= prev_total * 1.001:
-            break
-        prev_total = total
-        prev = cur
+    try:
+        for r in range(1, max_rounds + 1):
+            regs = _one_round(sym, regs)
+            cur = regs.select("v", *_estimate_cols()).select(
+                "v", F.col("ball_estimate").alias("_b")
+            ).localCheckpoint(eager=True)
+            shell = cur.join(prev.select("v", F.col("_b").alias("_pb")), "v").select(
+                "v",
+                (F.greatest(F.col("_b") - F.col("_pb"), F.lit(0.0)) / r).alias("_s"),
+            )
+            acc = (
+                acc.join(shell, "v")
+                .select("v", (F.col("harmonic") + F.col("_s")).alias("harmonic"))
+                .localCheckpoint(eager=True)
+            )
+            total = cur.agg(F.sum("_b")).collect()[0][0]
+            if prev_total is not None and total <= prev_total * 1.001:
+                break
+            prev_total = total
+            prev = cur
+    finally:
+        sym.unpersist()
     return acc.select("v", F.round("harmonic", 6).alias("harmonic_estimate"))

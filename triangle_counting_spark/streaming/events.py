@@ -28,8 +28,12 @@ def streaming_event_counts(
     size is O(windows in flight), not O(stream length).
     """
     # watermarks require TIMESTAMP (LTZ); parquet event-time columns often
-    # infer as TIMESTAMP_NTZ — normalize first
-    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    # infer as TIMESTAMP_NTZ — normalize via the tz-proof epoch derivation
+    # (a bare cast would interpret the NTZ wall clock in the session zone,
+    # shifting window boundaries under a non-UTC harness)
+    from ..functions.events import epoch_seconds
+
+    events = events.withColumn("ts", F.timestamp_seconds(epoch_seconds(events)))
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
@@ -65,8 +69,14 @@ def streaming_sessionize(
     table closes them (same composition note as streaming_exact_dedup).
     Columns match the batch operator's (session start/end as epoch
     seconds of first/last event; sum_value integer-exact) so the two
-    results diff directly."""
-    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    results diff directly. The window timestamp is rebuilt from
+    ``epoch_seconds`` (the tz-proof derivation both gate queries use) —
+    a bare ``cast('timestamp')`` would interpret an NTZ-read wall clock
+    in the SESSION zone and shift every session by the UTC offset under
+    a non-UTC harness (the r3 ``sessions`` failure mode)."""
+    from ..functions.events import epoch_seconds
+
+    events = events.withColumn("ts", F.timestamp_seconds(epoch_seconds(events)))
     micro = F.round(F.col("value") * 1_000_000).cast("long")
     return (
         events.withWatermark("ts", watermark)
