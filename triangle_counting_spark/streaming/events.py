@@ -155,9 +155,20 @@ def streaming_exact_dedup(
     operator on the sink table (same md5 key as
     `functions/dedup.py:exact_dedup_groups`, so the two compose).
     """
-    d = docs.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withColumn(
-        "text_hash", F.md5(F.col(text_col))
-    )
+    # tz-proof event time (same epoch_seconds discipline as the session /
+    # window twins): a bare cast shifts NTZ wall clocks by the session-zone
+    # offset — non-uniformly across a DST boundary, which could move a
+    # duplicate pair across the watermark horizon. String columns keep the
+    # plain parse (no NTZ ambiguity to neutralize).
+    from pyspark.sql.types import StringType
+
+    from ..functions.events import epoch_seconds
+
+    if isinstance(docs.schema[ts_col].dataType, StringType):
+        docs = docs.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    d = docs.withColumn(
+        ts_col, F.timestamp_seconds(epoch_seconds(docs, ts_col))
+    ).withColumn("text_hash", F.md5(F.col(text_col)))
     return d.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["text_hash"]
     )
