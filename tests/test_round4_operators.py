@@ -1,0 +1,326 @@
+"""Round-4 new-operator tests: document chunking, deterministic splits /
+stratified sampling, single-pass table profiling, strongly connected
+components (directed co-occurrence derivation + trim/color/mark SCC)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import make_edges
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+# ---------------------------------------------------------------- chunking
+
+
+def test_chunk_covers_every_token_exactly(spark):
+    """Reassembling chunks at stride offsets reproduces the original token
+    stream: tokens [start, start+stride) of every non-final chunk plus the
+    whole final chunk concatenate back to the document."""
+    from triangle_counting_spark.functions.text import chunk_documents
+
+    docs = _docs(spark).limit(50)
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8).toPandas()
+    orig = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    stride = 24
+    for doc_id, grp in chunks.groupby("doc_id"):
+        grp = grp.sort_values("chunk_start")
+        rebuilt = []
+        rows = grp.to_dict("records")
+        for i, row in enumerate(rows):
+            toks = row["chunk_text"].split(" ") if row["chunk_text"] else []
+            assert len(toks) == row["n_tokens"]
+            rebuilt += toks if i == len(rows) - 1 else toks[:stride]
+        assert rebuilt == orig[doc_id], f"doc {doc_id} chunk reassembly mismatch"
+
+
+def test_chunk_short_and_empty_docs(spark):
+    from triangle_counting_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, "  "), (4, " ".join(str(i) for i in range(64)))],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["chunk_start"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(docs, chunk_tokens=32, overlap=8).collect()
+    }
+    assert out[(1, 0)] == ("a b c", 3)
+    assert out[(2, 0)] == ("", 0)  # empty doc still yields its one chunk
+    assert out[(3, 0)] == ("", 0)
+    assert out[(4, 0)][1] == 32
+    assert out[(4, 24)][1] == 32  # 64 tokens → starts 0, 24, 48
+    assert out[(4, 48)][1] == 16
+    assert len(out) == 6
+
+
+def test_chunk_no_fully_contained_trailing_chunk(spark):
+    """n=100, chunk 64, overlap 16 → start 96 would add tokens 96..99, all
+    inside chunk@48's window — it must NOT be emitted."""
+    from triangle_counting_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(str(i) for i in range(100)))], "doc_id long, text string"
+    )
+    starts = sorted(
+        r["chunk_start"]
+        for r in chunk_documents(docs, chunk_tokens=64, overlap=16).collect()
+    )
+    assert starts == [0, 48]
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    from triangle_counting_spark.functions.text import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark), chunk_tokens=16, overlap=16)
+
+
+# ---------------------------------------------------------------- splits
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    from triangle_counting_spark.functions.sampling import hash_split
+
+    docs = _docs(spark)
+    w = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    a = hash_split(docs, w, seed="s1").select("doc_id", "split").toPandas()
+    b = (
+        hash_split(docs.repartition(13), w, seed="s1")
+        .select("doc_id", "split")
+        .toPandas()
+    )
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    counts = a.groupby("split").size()
+    n = counts.sum()
+    assert set(counts.index) <= {"train", "valid", "test"}
+    assert counts["train"] / n == pytest.approx(0.8, abs=0.06)
+
+
+def test_hash_split_seed_changes_assignment(spark):
+    from triangle_counting_spark.functions.sampling import hash_split
+
+    docs = _docs(spark)
+    w = {"a": 0.5, "b": 0.5}
+    s1 = hash_split(docs, w, seed="x").where(F.col("split") == "a")
+    s2 = hash_split(docs, w, seed="y").where(F.col("split") == "a")
+    ids1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in s2.select("doc_id").collect()}
+    assert ids1 != ids2  # astronomically unlikely to collide across seeds
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    from triangle_counting_spark.functions.sampling import hash_split
+
+    with pytest.raises(ValueError):
+        hash_split(_docs(spark), {"a": -1.0, "b": 2.0})
+
+
+def test_stratified_sample_respects_per_stratum_fractions(spark):
+    from triangle_counting_spark.functions.sampling import stratified_sample
+
+    docs = _docs(spark)
+    keep_all = stratified_sample(
+        docs, {"en": 1.0}, "lang", seed="s", default_fraction=0.0
+    )
+    en_total = docs.where(F.col("lang") == "en").count()
+    assert keep_all.count() == en_total
+    assert keep_all.where(F.col("lang") != "en").count() == 0
+    half = stratified_sample(docs, {"en": 0.5}, "lang", seed="s").count()
+    assert 0.3 * en_total < half < 0.7 * en_total
+
+
+def test_split_and_sample_are_consistent(spark):
+    """A row sampled at fraction f is exactly a row whose bucket < f·10⁴ —
+    so a 0.3 sample is a strict subset of the 0.5 sample at the same seed
+    (nested samples, the property incremental pipelines rely on)."""
+    from triangle_counting_spark.functions.sampling import stratified_sample
+
+    docs = _docs(spark)
+    small = {
+        r["doc_id"]
+        for r in stratified_sample(docs, {"en": 0.3}, "lang", seed="s")
+        .select("doc_id")
+        .collect()
+    }
+    big = {
+        r["doc_id"]
+        for r in stratified_sample(docs, {"en": 0.5}, "lang", seed="s")
+        .select("doc_id")
+        .collect()
+    }
+    assert small <= big
+
+
+# ---------------------------------------------------------------- profiling
+
+
+def test_profile_matches_pandas_truth(spark):
+    from triangle_counting_spark.functions.profile import profile_table
+
+    docs = _docs(spark)
+    pdf = docs.toPandas()
+    out = {r["col_name"]: r.asDict() for r in profile_table(docs).collect()}
+    assert set(out) == set(pdf.columns)
+    for c in pdf.columns:
+        assert out[c]["n_rows"] == len(pdf)
+        assert out[c]["n_nulls"] == int(pdf[c].isna().sum())
+        assert out[c]["n_distinct"] == pdf[c].dropna().nunique()
+    assert out["doc_id"]["min_value"] == str(pdf["doc_id"].min())
+    assert out["n_chars"]["max_value"] == str(pdf["n_chars"].max())
+
+
+def test_profile_counts_nulls_and_subset_columns(spark):
+    from triangle_counting_spark.functions.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], "x long, y string"
+    )
+    out = {r["col_name"]: r.asDict() for r in profile_table(df, ["x", "y"]).collect()}
+    assert out["x"]["n_nulls"] == 1 and out["x"]["n_distinct"] == 3
+    assert out["y"]["n_nulls"] == 1 and out["y"]["n_distinct"] == 2
+    only_x = profile_table(df, ["x"]).collect()
+    assert len(only_x) == 1 and only_x[0]["col_name"] == "x"
+    with pytest.raises(ValueError):
+        profile_table(df, [])
+
+
+def test_profile_is_single_pass(spark):
+    """One agg over the scan: the optimized plan must contain at most one
+    Scan of the input (Expand-based multi-distinct, not per-column jobs)."""
+    from triangle_counting_spark.functions.profile import profile_table
+
+    plan = profile_table(_docs(spark))._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation") <= 1
+
+
+# ---------------------------------------------------------------- SCC
+
+
+def _scc_python(edges):
+    """Tarjan (iterative) — the small-scale truth oracle."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    verts = set()
+    for a, b in edges:
+        adj[a].append(b)
+        verts.update((a, b))
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    out = {}
+    counter = [0]
+
+    for start in verts:
+        if start in index:
+            continue
+        work = [(start, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            work.pop()
+            if work:
+                u = work[-1][0]
+                low[u] = min(low[u], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                root = max(comp)
+                for w in comp:
+                    out[w] = root
+    return out
+
+
+SCC_CASES = {
+    "dag_path": [(0, 1), (1, 2), (2, 3)],
+    "one_cycle": [(0, 1), (1, 2), (2, 0), (2, 3)],
+    "two_cycles_bridge": [(0, 1), (1, 0), (1, 2), (2, 3), (3, 2)],
+    "self_contained_k3_plus_tail": [(0, 1), (1, 2), (2, 0), (3, 0), (4, 3)],
+    "two_comms": [(0, 1), (1, 0), (5, 6), (6, 7), (7, 5)],
+    "figure_eight": [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCC_CASES))
+def test_scc_matches_tarjan_on_tiny_graphs(spark, name):
+    from triangle_counting_spark.operators.scc import strongly_connected_components
+
+    pairs = SCC_CASES[name]
+    got = {
+        r["v"]: r["scc_id"]
+        for r in strongly_connected_components(make_edges(spark, pairs)).collect()
+    }
+    assert got == _scc_python(pairs)
+
+
+def test_scc_matches_tarjan_on_derived_graph(spark):
+    from triangle_counting_spark.operators.scc import strongly_connected_components
+    from triangle_counting_spark.sources.edges import directed_cooccurrence_edges
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    de = directed_cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    pairs = [(r["src"], r["dst"]) for r in de.collect()]
+    got = {
+        r["v"]: r["scc_id"] for r in strongly_connected_components(de).collect()
+    }
+    assert got == _scc_python(pairs)
+
+
+def test_scc_nonconvergence_raises(spark):
+    from triangle_counting_spark.operators.scc import strongly_connected_components
+
+    e = make_edges(spark, SCC_CASES["figure_eight"])
+    with pytest.raises(RuntimeError):
+        strongly_connected_components(e, max_prop=1)
+
+
+def test_directed_derivation_is_decorrelated_and_partition_invariant(spark):
+    from triangle_counting_spark.sources.edges import (
+        cooccurrence_edges,
+        directed_cooccurrence_edges,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    de = directed_cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    de2 = directed_cooccurrence_edges(li.repartition(17), "l_orderkey", "l_partkey")
+    a = sorted((r["src"], r["dst"]) for r in de.collect())
+    assert a == sorted((r["src"], r["dst"]) for r in de2.collect())
+    und = cooccurrence_edges(li, "l_orderkey", "l_partkey").count()
+    # ~1/10 sampling, both orientations present (decorrelated hash slices)
+    assert 0.05 * und < len(a) < 0.15 * und
+    n_fwd = sum(1 for s, d in a if s < d)
+    assert 0.3 < n_fwd / len(a) < 0.7

@@ -261,3 +261,54 @@ def repetition_stats(
         "dup_line_char_frac",
         F.coalesce("top_bigram_frac", zero).alias("top_bigram_frac"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """(doc_id, chunk_start, chunk_text, n_tokens) — fixed-size token
+    windows with overlap, the context-window splitter every training
+    pipeline runs before tokenization.
+
+    Window starts step by ``stride = chunk_tokens - overlap``; a trailing
+    start is emitted only if it contributes tokens beyond the previous
+    window's coverage (``start < n - overlap``), so no chunk is fully
+    contained in its predecessor; every doc yields at least one chunk.
+    ``chunk_start`` (the 0-based token offset) is the stable chunk key —
+    no window/ordinal needed, so the expansion is one generate+explode
+    with NO shuffle at all: chunking 100 TB is a pure map over the scan.
+
+    All-JVM (split → sequence → explode → slice/join): the exact token
+    windows replay in ANSI SQL (DuckDB generate_series has the same
+    inclusive-stop semantics as Spark sequence)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    stride = chunk_tokens - overlap
+    words = F.filter(_words(text_col), lambda t: t != "")
+    n = F.size(words)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        lambda s: (s == 0) | (s < n - overlap),
+    )
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            words.alias("_w"),
+            n.alias("_n"),
+            F.explode(starts).alias("chunk_start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.array_join(F.slice("_w", F.col("chunk_start") + 1, chunk_tokens), " ").alias(
+                "chunk_text"
+            ),
+            F.greatest(
+                F.least(F.lit(chunk_tokens), F.col("_n") - F.col("chunk_start")), F.lit(0)
+            ).cast("long").alias("n_tokens"),
+        )
+    )

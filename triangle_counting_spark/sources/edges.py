@@ -178,3 +178,37 @@ def sha256_audit(files: DataFrame, derived: DataFrame) -> DataFrame:
     return want.join(
         derived.select("v", "content_sha256"), ["v", "content_sha256"], "left_anti"
     )
+
+
+def directed_cooccurrence_edges(
+    items: DataFrame,
+    group_col: str,
+    item_col: str,
+    sample_mod: int = 10,
+    sample_keep: int = 1,
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """(src, dst) DIRECTED — a deterministic directed view of the
+    co-occurrence graph for directed analytics (SCC, bowtie structure).
+
+    The undirected pair stream is md5-subsampled (keep iff the first
+    8 hex chars of md5("a,b") mod ``sample_mod`` < ``sample_keep``) and
+    each kept edge is oriented by an INDEPENDENT slice of the same digest
+    (hex chars 9-16), so sampling and direction are decorrelated. Both
+    decisions are pure functions of the unordered pair — no RNG state,
+    identical at any parallelism, and the whole derivation replays in
+    ANSI SQL (the md5-rank idiom the sampled estimators use).
+
+    Subsampling matters beyond determinism: a dense co-occurrence graph
+    randomly oriented is strongly connected with probability → 1, which
+    makes SCC degenerate; at 1/10 density the directed graph keeps the
+    web-like giant-SCC-plus-tendrils shape the operator exists for."""
+    und = cooccurrence_edges(items, group_col, item_col, max_group_size=max_group_size)
+    key = F.concat_ws(",", F.col(SRC), F.col(DST))
+    h_sample = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    h_orient = F.conv(F.substring(F.md5(key), 9, 8), 16, 10).cast("long")
+    kept = und.where(h_sample % sample_mod < sample_keep)
+    return kept.select(
+        F.when(h_orient % 2 == 0, F.col(SRC)).otherwise(F.col(DST)).alias(SRC),
+        F.when(h_orient % 2 == 0, F.col(DST)).otherwise(F.col(SRC)).alias(DST),
+    )
