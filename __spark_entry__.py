@@ -1018,6 +1018,108 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+# ---- r4 merged gates: the driver verifies at most 50 queries per round, so
+# related single-result gates share one slot (the degree_stats precedent) —
+# every constituent keeps its own query function and full SQL replay.
+
+
+def q_graph_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-panel merge of three formerly separate 1-row gates:
+    global clustering coefficient × k-metric × sampled triangle estimate
+    (each still an independent operator; the crossJoin of 1-row frames
+    only merges their DRIVER slot)."""
+    return (
+        q_clustering(spark, sf_dir)
+        .crossJoin(q_k_metric(spark, sf_dir))
+        .crossJoin(q_triangle_estimate(spark, sf_dir))
+    )
+
+
+def q_pagerank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted + personalized PageRank in one slot, tagged by variant."""
+    w = q_pagerank_weighted(spark, sf_dir).select(
+        F.lit("weighted").alias("variant"), "v", "rank"
+    )
+    p = q_pagerank_personalized(spark, sf_dir).select(
+        F.lit("personalized").alias("variant"), "v", "rank"
+    )
+    return w.unionByName(p)
+
+
+def q_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-banded-LSH + SimHash-pigeonhole pairs in one slot, tagged by
+    method; score = verified jaccard (minhash) / hamming distance (simhash)."""
+    mh = q_minhash_lsh(spark, sf_dir).select(
+        F.lit("minhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.round("jaccard", 6).cast("double").alias("score"),
+    )
+    sh = q_simhash_neardup(spark, sf_dir).select(
+        F.lit("simhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return mh.unionByName(sh)
+
+
+# ---- r4 new gates
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (32-token chunks, 8 overlap): shuffle-free
+    generate+explode; the exact windows replay in ANSI SQL."""
+    from triangle_counting_spark.functions.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket train/valid/test split (80/10/10) plus a
+    50%-of-en stratified sample, reported as per-(split, lang) counts —
+    partition-count-invariant by construction."""
+    from triangle_counting_spark.functions.sampling import (
+        hash_split,
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    splits = (
+        hash_split(docs, {"train": 0.8, "valid": 0.1, "test": 0.1}, seed="r4")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    sample = (
+        stratified_sample(docs, {"en": 0.5}, "lang", seed="r4", default_fraction=1.0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.lit("sample").alias("split"), "lang", "n_docs")
+    )
+    return splits.unionByName(sample)
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column census of the documents table (exact
+    distincts so the DuckDB replay matches bit-for-bit)."""
+    from triangle_counting_spark.functions.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "documents"))
+
+
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the deterministic md5-sampled
+    directed co-occurrence graph; oracle = recursive-CTE transitive
+    closure (scc_id = max mutually reachable vertex)."""
+    from triangle_counting_spark.operators.scc import strongly_connected_components
+    from triangle_counting_spark.sources.edges import directed_cooccurrence_edges
+
+    de = directed_cooccurrence_edges(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
+    )
+    return strongly_connected_components(de)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1037,14 +1139,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never- or stale-gated in r3 (VERDICT r3 #3) ---
         "ivf_topk": q_ivf_topk,
-        "clustering_coefficient": q_clustering,
+        "graph_scalars": q_graph_scalars,
         "comm_cost": q_comm_cost,
-        "k_metric": q_k_metric,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash_neardup": q_simhash_neardup,
+        "lsh_neardup_pairs": q_lsh_neardup_pairs,
         "lsh_topk": q_lsh_topk,
         "embedding_neardup": q_embedding_neardup,
         "doc_features": q_doc_features,
+        # --- new in r4 (slots freed by the graph_scalars / pagerank_variants
+        # / lsh_neardup_pairs merges) ---
+        "scc": q_scc,
+        "doc_chunks": q_doc_chunks,
+        "dataset_split": q_dataset_split,
+        "table_profile": q_table_profile,
         # --- core graph surface ---
         "edge_derivation": q_edge_derivation,
         "triangle_count": q_triangle_count,
@@ -1054,14 +1160,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness": q_coreness,
         "triangle_delta": q_triangle_delta,
         "streaming_triangles": q_streaming_triangles,
-        "triangle_estimate": q_triangle_estimate,
         "triangles_per_vertex": q_triangles_per_vertex,
         "degrees": q_degrees,
         "degree_stats": q_degree_stats,
         "hyperball": q_hyperball,
         "pagerank": q_pagerank,
-        "pagerank_weighted": q_pagerank_weighted,
-        "pagerank_personalized": q_pagerank_personalized,
+        "pagerank_variants": q_pagerank_variants,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "label_propagation_weighted": q_label_propagation_weighted,
@@ -1910,4 +2014,91 @@ UNION ALL SELECT start_v, walk_ix, 1::BIGINT, v FROM b1
 UNION ALL SELECT start_v, walk_ix, 2::BIGINT, v FROM b2
 UNION ALL SELECT start_v, walk_ix, 3::BIGINT, v FROM b3"""
     )
+
+    # ---- r4 merged slots: composed from the constituents' own replays, so
+    # the merged gate verifies exactly what the three separate gates did
+    out["graph_scalars"] = (
+        "SELECT * FROM (\n" + out.pop("clustering_coefficient") + "\n) _gc\n"
+        "CROSS JOIN (\n" + out.pop("k_metric") + "\n) _km\n"
+        "CROSS JOIN (\n" + out.pop("triangle_estimate") + "\n) _te"
+    )
+    out["pagerank_variants"] = (
+        "SELECT 'weighted' AS variant, v, rank FROM (\n"
+        + out.pop("pagerank_weighted")
+        + "\n) _w\nUNION ALL\nSELECT 'personalized' AS variant, v, rank FROM (\n"
+        + out.pop("pagerank_personalized")
+        + "\n) _p"
+    )
+    out["lsh_neardup_pairs"] = (
+        "SELECT 'minhash' AS method, id_a, id_b, ROUND(jaccard, 6)::DOUBLE AS score FROM (\n"
+        + out.pop("minhash_lsh")
+        + "\n) _mh\nUNION ALL\nSELECT 'simhash' AS method, id_a, id_b, hamming::DOUBLE AS score FROM (\n"
+        + out.pop("simhash_neardup")
+        + "\n) _sh"
+    )
+
+    # ---- r4 new gates
+    out["doc_chunks"] = """
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS words
+  FROM documents
+), s AS (
+  SELECT doc_id, words, len(words) AS n,
+         unnest(list_filter(generate_series(0, greatest(len(words)-1, 0), 24),
+                            s -> s = 0 OR s < len(words) - 8)) AS chunk_start
+  FROM w
+)
+SELECT doc_id, chunk_start::BIGINT AS chunk_start,
+       array_to_string(list_slice(words, chunk_start+1, chunk_start+32), ' ') AS chunk_text,
+       greatest(least(32, n - chunk_start), 0)::BIGINT AS n_tokens
+FROM s"""
+    out["dataset_split"] = """
+WITH b AS (
+  SELECT lang, ('0x'||substr(md5(doc_id::VARCHAR || ':r4'),1,8))::BIGINT % 10000 AS bk
+  FROM documents
+)
+SELECT CASE WHEN bk < 8000 THEN 'train' WHEN bk < 9000 THEN 'valid' ELSE 'test' END AS split,
+       lang, COUNT(*)::BIGINT AS n_docs FROM b GROUP BY 1, 2
+UNION ALL
+SELECT 'sample' AS split, lang, COUNT(*)::BIGINT AS n_docs FROM b
+WHERE bk < CASE WHEN lang = 'en' THEN 5000 ELSE 10000 END GROUP BY 1, 2"""
+    _prof = []
+    for c in ("doc_id", "text", "lang", "source", "n_chars"):
+        _prof.append(
+            f"SELECT '{c}' AS col_name, COUNT(*)::BIGINT AS n_rows,"
+            f" (COUNT(*) - COUNT({c}))::BIGINT AS n_nulls,"
+            f" COUNT(DISTINCT {c})::BIGINT AS n_distinct,"
+            f" MIN({c})::VARCHAR AS min_value, MAX({c})::VARCHAR AS max_value"
+            " FROM documents"
+        )
+    out["table_profile"] = "\nUNION ALL\n".join(_prof)
+    out["scc"] = """
+WITH RECURSIVE dedges AS (
+  SELECT CASE WHEN ho % 2 = 0 THEN src ELSE dst END AS src,
+         CASE WHEN ho % 2 = 0 THEN dst ELSE src END AS dst
+  FROM (
+    SELECT src, dst,
+      ('0x'||substr(md5(src::VARCHAR||','||dst::VARCHAR),1,8))::BIGINT AS hs,
+      ('0x'||substr(md5(src::VARCHAR||','||dst::VARCHAR),9,8))::BIGINT AS ho
+    FROM (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ) _e
+  ) _h WHERE hs % 10 < 1
+),
+dverts AS (SELECT DISTINCT src AS v FROM dedges UNION SELECT DISTINCT dst FROM dedges),
+reach(a, b) AS (
+  SELECT src, dst FROM dedges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN dedges e ON r.b = e.src
+),
+mutual AS (
+  SELECT c1.a AS v, c1.b AS u FROM reach c1 JOIN reach c2 ON c1.a = c2.b AND c1.b = c2.a
+)
+SELECT dverts.v::BIGINT AS v,
+       GREATEST(dverts.v, COALESCE(MAX(mutual.u), dverts.v))::BIGINT AS scc_id
+FROM dverts LEFT JOIN mutual ON mutual.v = dverts.v
+GROUP BY dverts.v"""
     return out
