@@ -63,7 +63,8 @@ def main() -> None:
     from triangle_counting_spark.operators.bfs import bfs_levels
     from triangle_counting_spark.operators.walks import random_walks
     from triangle_counting_spark.functions.events import sessionize
-    from triangle_counting_spark.functions.text import tf_idf
+    from triangle_counting_spark.functions.profile import profile_table
+    from triangle_counting_spark.functions.text import chunk_documents, tf_idf
     from triangle_counting_spark.session import get_spark
     from triangle_counting_spark.sources.edges import (
         cooccurrence_edges,
@@ -124,6 +125,17 @@ def main() -> None:
         split = F.substring(F.md5(F.concat_ws(",", F.col("src"), F.col("dst"))), 1, 2)
         triangle_count_delta(e.where(split < "d9"), e.where(split >= "d9")).collect()
 
+    def scc_run():
+        from triangle_counting_spark.operators.scc import (
+            strongly_connected_components,
+        )
+        from triangle_counting_spark.sources.edges import (
+            directed_cooccurrence_edges,
+        )
+
+        de = directed_cooccurrence_edges(lineitem, "l_orderkey", "l_partkey")
+        strongly_connected_components(de).groupBy("scc_id").count().count()
+
     root_box: dict = {}
 
     def bfs_run():
@@ -177,6 +189,10 @@ def main() -> None:
          lambda: random_walks(state["edges"], length=8, walks_per_vertex=1).count()),
         ("sessions", lambda: sessionize(events).count()),
         ("tf_idf", lambda: tf_idf(docs, min_df=3).count()),
+        ("scc", scc_run),
+        ("doc_chunks",
+         lambda: chunk_documents(docs, chunk_tokens=32, overlap=8).count()),
+        ("table_profile", lambda: profile_table(docs).collect()),
     ]
 
     runs: dict[str, list[float]] = {name: [] for name, _ in suite}
