@@ -324,3 +324,106 @@ def test_directed_derivation_is_decorrelated_and_partition_invariant(spark):
     assert 0.05 * und < len(a) < 0.15 * und
     n_fwd = sum(1 for s, d in a if s < d)
     assert 0.3 < n_fwd / len(a) < 0.7
+
+
+# ---------------------------------------------------------------- bowtie
+
+
+def _bowtie_python(edges):
+    """Pure-python Broder bowtie oracle over the Tarjan SCC truth."""
+    from collections import defaultdict
+
+    scc = _scc_python(edges)
+    verts = set(scc)
+    comp_members = defaultdict(set)
+    for v, c in scc.items():
+        comp_members[c].add(v)
+    giant = min(  # largest, ties → smallest scc_id
+        comp_members, key=lambda c: (-len(comp_members[c]), c)
+    )
+    core = comp_members[giant]
+    fwd = defaultdict(set)
+    bwd = defaultdict(set)
+    for a, b in edges:
+        fwd[a].add(b)
+        bwd[b].add(a)
+
+    def reach(seeds, adj, allowed=None):
+        seen = set(seeds)
+        stack = list(seeds)
+        while stack:
+            v = stack.pop()
+            for w in adj[v]:
+                if w in seen or (allowed is not None and w not in allowed):
+                    continue
+                seen.add(w)
+                stack.append(w)
+        return seen
+
+    fwd_core = reach(core, fwd)
+    bwd_core = reach(core, bwd)
+    out_set = fwd_core - core
+    in_set = bwd_core - core
+    residual = verts - core - out_set - in_set
+    fi_seed = {w for v in in_set for w in fwd[v] if w in residual}
+    to_seed = {v for v in residual for w in fwd[v] if w in out_set}
+    from_in = reach(fi_seed, fwd, allowed=residual)
+    to_out = reach(to_seed, bwd, allowed=residual)
+    out = {}
+    for v in verts:
+        if v in core:
+            out[v] = "CORE"
+        elif v in in_set:
+            out[v] = "IN"
+        elif v in out_set:
+            out[v] = "OUT"
+        elif v in from_in and v in to_out:
+            out[v] = "TUBE"
+        elif v in from_in:
+            out[v] = "TENDRIL_IN"
+        elif v in to_out:
+            out[v] = "TENDRIL_OUT"
+        else:
+            out[v] = "DISCONNECTED"
+    return out
+
+
+BOWTIE_CASES = {
+    # core {2,3}, in {0,1}, out {4,5}, tube 6, tendril_in 7, tendril_out 8,
+    # disconnected {10,11}
+    "full_anatomy": [
+        (0, 2), (1, 2), (2, 3), (3, 2), (3, 4), (4, 5),
+        (0, 6), (6, 4),          # tube bypassing the core
+        (1, 7),                  # tendril off IN
+        (8, 5),                  # tendril into OUT
+        (10, 11),                # disconnected pair
+    ],
+    "pure_cycle": [(0, 1), (1, 2), (2, 0)],
+    "dag_no_core": [(0, 1), (1, 2), (0, 2), (3, 4)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(BOWTIE_CASES))
+def test_bowtie_matches_python_oracle(spark, name):
+    from triangle_counting_spark.operators.bowtie import bowtie_decomposition
+
+    pairs = BOWTIE_CASES[name]
+    got = {
+        r["v"]: r["region"]
+        for r in bowtie_decomposition(make_edges(spark, pairs)).collect()
+    }
+    assert got == _bowtie_python(pairs)
+
+
+def test_bowtie_on_derived_graph(spark):
+    from triangle_counting_spark.operators.bowtie import bowtie_decomposition
+    from triangle_counting_spark.sources.edges import directed_cooccurrence_edges
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    de = directed_cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    pairs = [(r["src"], r["dst"]) for r in de.collect()]
+    got = {
+        r["v"]: r["region"] for r in bowtie_decomposition(de).collect()
+    }
+    assert got == _bowtie_python(pairs)
+    assert sum(1 for r in got.values() if r == "CORE") > len(got) // 2
