@@ -1112,14 +1112,16 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components of the deterministic md5-sampled
     directed co-occurrence graph; oracle = recursive-CTE transitive
-    closure (scc_id = max mutually reachable vertex)."""
+    closure (scc_id = max mutually reachable vertex). Gate pins the
+    SHUFFLE tier (the distributed path is what needs an oracle); pytest
+    pins blocked == shuffle == Tarjan on the same derived graph."""
     from triangle_counting_spark.operators.scc import strongly_connected_components
     from triangle_counting_spark.sources.edges import directed_cooccurrence_edges
 
     de = directed_cooccurrence_edges(
         _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
     )
-    return strongly_connected_components(de)
+    return strongly_connected_components(de, tier="shuffle")
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -47,16 +47,25 @@ de = (
 m = de.count()
 
 t0 = time.time()
-out = strongly_connected_components(de)
+out = strongly_connected_components(de, tier="shuffle")
 sizes = out.groupBy("scc_id").count()
 n_scc = sizes.count()
 giant = sizes.agg(F.max("count")).collect()[0][0]
 t = time.time() - t0
 
+t0 = time.time()
+outb = strongly_connected_components(de, tier="blocked")
+sizes_b = outb.groupBy("scc_id").count()
+n_scc_b = sizes_b.count()
+t_b = time.time() - t0
+assert n_scc_b == n_scc, (n_scc_b, n_scc)
+
 print(json.dumps({{
     "scale": {scale}, "cpus": cpus, "directed_m": m,
     "scc_sec": round(t, 1), "n_scc": n_scc, "giant_scc": int(giant),
     "edges_per_sec": int(m / t),
+    "scc_blocked_sec": round(t_b, 1),
+    "blocked_edges_per_sec": int(m / t_b),
 }}))
 spark.stop()
 """

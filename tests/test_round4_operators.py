@@ -275,19 +275,23 @@ SCC_CASES = {
 }
 
 
+@pytest.mark.parametrize("tier", ["blocked", "shuffle"])
 @pytest.mark.parametrize("name", sorted(SCC_CASES))
-def test_scc_matches_tarjan_on_tiny_graphs(spark, name):
+def test_scc_matches_tarjan_on_tiny_graphs(spark, name, tier):
     from triangle_counting_spark.operators.scc import strongly_connected_components
 
     pairs = SCC_CASES[name]
     got = {
         r["v"]: r["scc_id"]
-        for r in strongly_connected_components(make_edges(spark, pairs)).collect()
+        for r in strongly_connected_components(
+            make_edges(spark, pairs), tier=tier
+        ).collect()
     }
     assert got == _scc_python(pairs)
 
 
-def test_scc_matches_tarjan_on_derived_graph(spark):
+@pytest.mark.parametrize("tier", ["blocked", "shuffle"])
+def test_scc_matches_tarjan_on_derived_graph(spark, tier):
     from triangle_counting_spark.operators.scc import strongly_connected_components
     from triangle_counting_spark.sources.edges import directed_cooccurrence_edges
 
@@ -295,7 +299,8 @@ def test_scc_matches_tarjan_on_derived_graph(spark):
     de = directed_cooccurrence_edges(li, "l_orderkey", "l_partkey")
     pairs = [(r["src"], r["dst"]) for r in de.collect()]
     got = {
-        r["v"]: r["scc_id"] for r in strongly_connected_components(de).collect()
+        r["v"]: r["scc_id"]
+        for r in strongly_connected_components(de, tier=tier).collect()
     }
     assert got == _scc_python(pairs)
 
@@ -305,7 +310,16 @@ def test_scc_nonconvergence_raises(spark):
 
     e = make_edges(spark, SCC_CASES["figure_eight"])
     with pytest.raises(RuntimeError):
-        strongly_connected_components(e, max_prop=1)
+        strongly_connected_components(e, max_prop=1, tier="shuffle")
+
+
+def test_scc_rejects_unknown_tier(spark):
+    from triangle_counting_spark.operators.scc import strongly_connected_components
+
+    with pytest.raises(ValueError):
+        strongly_connected_components(
+            make_edges(spark, SCC_CASES["one_cycle"]), tier="nope"
+        )
 
 
 def test_directed_derivation_is_decorrelated_and_partition_invariant(spark):
@@ -427,3 +441,66 @@ def test_bowtie_on_derived_graph(spark):
     }
     assert got == _bowtie_python(pairs)
     assert sum(1 for r in got.values() if r == "CORE") > len(got) // 2
+
+
+# ---------------------------------------------------------------- MSF
+
+
+def _msf_python(wedges):
+    """Kruskal + union-find under the same (w, src, dst) total order."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    forest = set()
+    for w, a, b in sorted((w, a, b) for a, b, w in wedges):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            forest.add((a, b, w))
+    return forest
+
+
+MSF_CASES = {
+    "triangle_distinct": [(0, 1, 1.0), (1, 2, 2.0), (0, 2, 3.0)],
+    "tie_weights": [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0), (2, 3, 1.0)],
+    "two_components": [(0, 1, 5.0), (1, 2, 1.0), (0, 2, 2.0), (7, 8, 1.0)],
+    "monotone_chain": [(i, i + 1, float(i + 1)) for i in range(12)],
+    "star_plus_ring": [(0, i, float(i)) for i in range(1, 6)]
+    + [(1, 2, 0.5), (3, 4, 10.0)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(MSF_CASES))
+def test_msf_matches_kruskal_on_tiny_graphs(spark, name):
+    from triangle_counting_spark.operators.msf import minimum_spanning_forest
+
+    wedges = MSF_CASES[name]
+    df = spark.createDataFrame(wedges, "src long, dst long, weight double")
+    got = {
+        (r["src"], r["dst"], r["weight"])
+        for r in minimum_spanning_forest(df).collect()
+    }
+    assert got == _msf_python(wedges)
+
+
+def test_msf_on_derived_weighted_graph(spark):
+    from triangle_counting_spark.operators.msf import minimum_spanning_forest
+    from triangle_counting_spark.sources.edges import cooccurrence_weighted_edges
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    we = cooccurrence_weighted_edges(li, "l_orderkey", "l_partkey")
+    wedges = [(r["src"], r["dst"], r["weight"]) for r in we.collect()]
+    got = {
+        (r["src"], r["dst"], r["weight"])
+        for r in minimum_spanning_forest(we).collect()
+    }
+    want = _msf_python(wedges)
+    assert got == want
+    # n - n_components forest edges: sanity via the python union-find
+    verts = {v for a, b, _ in wedges for v in (a, b)}
+    assert len(got) < len(verts)
