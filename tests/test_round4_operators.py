@@ -475,20 +475,22 @@ MSF_CASES = {
 }
 
 
+@pytest.mark.parametrize("tier", ["blocked", "shuffle"])
 @pytest.mark.parametrize("name", sorted(MSF_CASES))
-def test_msf_matches_kruskal_on_tiny_graphs(spark, name):
+def test_msf_matches_kruskal_on_tiny_graphs(spark, name, tier):
     from triangle_counting_spark.operators.msf import minimum_spanning_forest
 
     wedges = MSF_CASES[name]
     df = spark.createDataFrame(wedges, "src long, dst long, weight double")
     got = {
         (r["src"], r["dst"], r["weight"])
-        for r in minimum_spanning_forest(df).collect()
+        for r in minimum_spanning_forest(df, tier=tier).collect()
     }
     assert got == _msf_python(wedges)
 
 
-def test_msf_on_derived_weighted_graph(spark):
+@pytest.mark.parametrize("tier", ["blocked", "shuffle"])
+def test_msf_on_derived_weighted_graph(spark, tier):
     from triangle_counting_spark.operators.msf import minimum_spanning_forest
     from triangle_counting_spark.sources.edges import cooccurrence_weighted_edges
 
@@ -497,10 +499,18 @@ def test_msf_on_derived_weighted_graph(spark):
     wedges = [(r["src"], r["dst"], r["weight"]) for r in we.collect()]
     got = {
         (r["src"], r["dst"], r["weight"])
-        for r in minimum_spanning_forest(we).collect()
+        for r in minimum_spanning_forest(we, tier=tier).collect()
     }
     want = _msf_python(wedges)
     assert got == want
     # n - n_components forest edges: sanity via the python union-find
     verts = {v for a, b, _ in wedges for v in (a, b)}
     assert len(got) < len(verts)
+
+
+def test_msf_rejects_unknown_tier(spark):
+    from triangle_counting_spark.operators.msf import minimum_spanning_forest
+
+    df = spark.createDataFrame(MSF_CASES["tie_weights"], "src long, dst long, weight double")
+    with pytest.raises(ValueError):
+        minimum_spanning_forest(df, tier="nope")
