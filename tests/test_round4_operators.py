@@ -514,3 +514,37 @@ def test_msf_rejects_unknown_tier(spark):
     df = spark.createDataFrame(MSF_CASES["tie_weights"], "src long, dst long, weight double")
     with pytest.raises(ValueError):
         minimum_spanning_forest(df, tier="nope")
+
+
+# ------------------------------------------------------------ plan shapes
+
+
+def test_chunk_and_split_plans_have_no_shuffle(spark):
+    """Chunking and split assignment are pure maps over the scan — their
+    optimized plans must contain no Exchange (shuffle) at any size."""
+    from triangle_counting_spark.functions.sampling import hash_split
+    from triangle_counting_spark.functions.text import chunk_documents
+
+    docs = _docs(spark)
+    for df in (
+        chunk_documents(docs, chunk_tokens=32, overlap=8),
+        hash_split(docs, {"a": 0.5, "b": 0.5}),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+
+def test_new_ops_are_jvm_only(spark):
+    """No Python-worker stage anywhere in chunking/split/profile plans."""
+    from triangle_counting_spark.functions.profile import profile_table
+    from triangle_counting_spark.functions.sampling import stratified_sample
+    from triangle_counting_spark.functions.text import chunk_documents
+
+    docs = _docs(spark)
+    for df in (
+        chunk_documents(docs),
+        stratified_sample(docs, {"en": 0.5}, "lang"),
+        profile_table(docs),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan, plan
