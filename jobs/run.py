@@ -1,7 +1,7 @@
 """spark-submit entry point.
 
     spark-submit --py-files tcs.zip jobs/run.py --input <edges parquet | lineitem parquet> \
-        --job triangles|pagerank|components|labelprop|kcore|ktruss|all \
+        --job triangles|pagerank|components|labelprop|kcore|ktruss|scc|bowtie|msf|all \
         [--checkpoint-dir DIR] [--run-id ID] [--k K] \
         [--weight-col COL] [--personalized-for v1,v2,...]
 
@@ -52,7 +52,23 @@ def main() -> None:
     df = spark.read.parquet(args.input)
     if args.derive:
         g, i = args.derive.split(",")
-        edges = cooccurrence_edges(df, g, i)
+        if args.job == "msf":
+            # MSF needs edge weights — derive the shared-group-count graph
+            from triangle_counting_spark.sources.edges import (
+                cooccurrence_weighted_edges,
+            )
+
+            edges = cooccurrence_weighted_edges(df, g, i)
+        elif args.job in ("scc", "bowtie"):
+            # directed analytics need a directed derivation — the canonical
+            # src<dst edge list is a DAG (all SCCs trivially singletons)
+            from triangle_counting_spark.sources.edges import (
+                directed_cooccurrence_edges,
+            )
+
+            edges = directed_cooccurrence_edges(df, g, i)
+        else:
+            edges = cooccurrence_edges(df, g, i)
     else:
         edges = df
     edges = edges.persist()
@@ -116,6 +132,33 @@ def main() -> None:
         pairs = walk_skipgram_pairs(walks).count()
         out["walks"] = {"length": args.k, "skipgram_pairs": pairs,
                         "sec": time.time() - t0}
+    if args.job == "scc":
+        from triangle_counting_spark.operators.scc import (
+            strongly_connected_components,
+        )
+
+        t0 = time.time()
+        sizes = strongly_connected_components(edges).groupBy("scc_id").count()
+        n_scc = sizes.count()
+        out["scc"] = {"n_scc": n_scc, "sec": time.time() - t0,
+                      "edges_per_sec": m / (time.time() - t0)}
+    if args.job == "bowtie":
+        from triangle_counting_spark.operators.bowtie import bowtie_decomposition
+
+        t0 = time.time()
+        regions = {
+            r["region"]: r["count"]
+            for r in bowtie_decomposition(edges).groupBy("region").count().collect()
+        }
+        out["bowtie"] = {"regions": regions, "sec": time.time() - t0}
+    if args.job == "msf":
+        from triangle_counting_spark.operators.msf import minimum_spanning_forest
+
+        t0 = time.time()
+        wcol = args.weight_col or "weight"
+        forest = minimum_spanning_forest(edges, weight_col=wcol)
+        n_forest = forest.count()
+        out["msf"] = {"forest_edges": n_forest, "sec": time.time() - t0}
     if args.job in ("labelprop", "all"):
         t0 = time.time()
         r = label_propagation(edges, checkpoint_dir=args.checkpoint_dir,
