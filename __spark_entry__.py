@@ -1521,7 +1521,7 @@ SELECT user_id, session_ix,
        (SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0) AS sum_value
 FROM flagged GROUP BY 1, 2""",
         "events_window": """
-SELECT ((epoch_ms(ts) // 1000) - ((epoch_ms(ts) // 1000) % 3600))::BIGINT AS hour_epoch,
+SELECT ((epoch_ms(ts) // 1000) // 3600 * 3600)::BIGINT AS hour_epoch,
        event_type,
        COUNT(*)::BIGINT AS n_events,
        (SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0) AS sum_value,

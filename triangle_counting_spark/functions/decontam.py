@@ -87,12 +87,16 @@ def decontaminate(
 ) -> DataFrame:
     """Training rows with ZERO benchmark n-gram overlap — the drop-side
     twin of :func:`ngram_overlap` (left anti-join on the contaminated-id
-    set, which is tiny relative to the corpus and broadcastable)."""
+    set). The contaminated set is usually tiny, but it is corpus-sized in
+    the worst case (a ubiquitous benchmark n-gram), so the join is left
+    unhinted: AQE broadcasts it when it measures small and falls back to a
+    shuffled anti-join when it does not — a forced broadcast here would
+    OOM exactly when contamination is worst."""
     contaminated = ngram_overlap(train, benchmark, n, text_col, id_col).select(
         F.col("doc_id").alias("_cid")
     )
     return train.join(
-        F.broadcast(contaminated),
+        contaminated,
         F.col(id_col).cast("long") == F.col("_cid"),
         "left_anti",
     )

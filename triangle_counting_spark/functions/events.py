@@ -57,11 +57,12 @@ def exact_sum(col: str, alias: str) -> Column:
 
 def hourly_event_stats(events: DataFrame) -> DataFrame:
     """(hour_epoch, event_type, n_events, sum_value, n_users) — tumbling
-    1-hour windows keyed by integer epoch arithmetic (``epoch // 3600 *
-    3600``), not ``date_trunc``, so the window boundaries cannot move with
-    the gating session's timezone."""
+    1-hour windows keyed by integer epoch arithmetic (floor division, so
+    pre-1970 epochs floor like ``date_trunc`` did), not ``date_trunc``
+    itself, so the window boundaries cannot move with the gating session's
+    timezone."""
     epoch = epoch_seconds(events)
-    hour = (epoch - (epoch % 3600)).alias("hour_epoch")
+    hour = (F.floor(epoch / F.lit(3600)) * 3600).alias("hour_epoch")
     return events.groupBy(hour, F.col("event_type")).agg(
         F.count(F.lit(1)).alias("n_events"),
         exact_sum("value", "sum_value"),

@@ -39,13 +39,20 @@ def profile_table(
             F.max(F.col(c)).cast("string").alias(f"__mx{i}"),
         ]
     row = df.agg(*aggs)
-    stack = ", ".join(
-        f"'{c}', __nn{i}, __nd{i}, __mn{i}, __mx{i}" for i, c in enumerate(cols)
-    )
+    # Column-API stack (not an interpolated SQL string) so column names
+    # containing quotes or other SQL-significant characters profile fine
+    stack_args: list = []
+    for i, c in enumerate(cols):
+        stack_args += [
+            F.lit(c),
+            F.col(f"__nn{i}"),
+            F.col(f"__nd{i}"),
+            F.col(f"__mn{i}"),
+            F.col(f"__mx{i}"),
+        ]
     return row.select(
-        F.expr(
-            f"stack({len(cols)}, {stack}) AS "
-            "(col_name, __nn, n_distinct, min_value, max_value)"
+        F.stack(F.lit(len(cols)), *stack_args).alias(
+            "col_name", "__nn", "n_distinct", "min_value", "max_value"
         ),
         F.col("__n").alias("n_rows"),
     ).select(

@@ -146,13 +146,25 @@ def ngram_vocabulary(
     docs: DataFrame,
     n: int = 2,
     text_col: str = "text",
-    id_col: str = "doc_id",
     min_count: int = 1,
+    *,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """(ngram, n_occurrences, n_docs) — word n-gram counts and document
     frequencies across the corpus (language-model / collocation
     statistics). The n-gram expansion is a pure JVM expression: transform
-    over a sliding index sequence + array_join — no Python, no UDF."""
+    over a sliding index sequence + array_join — no Python, no UDF.
+
+    ``id_col`` is keyword-only (it sits after ``min_count``, unlike the
+    other text functions, to keep older positional call sites valid); when
+    the column is absent each ROW counts as its own document for
+    ``n_docs``, so id-less corpora still work."""
+    if id_col not in docs.columns:
+        # materialize the synthetic id BEFORE the explode so every n-gram
+        # of one row shares one doc_id (a generator-adjacent expression
+        # would be evaluated per exploded row)
+        docs = docs.withColumn("_ngv_doc_id", F.monotonically_increasing_id())
+        id_col = "_ngv_doc_id"
     grams = word_ngrams(text_col, n)
     return (
         docs.select(

@@ -126,12 +126,16 @@ class Graph:
     def centrality(self, n_roots: int = 16, tier: str = "auto") -> DataFrame:
         from .operators.distances import centrality
 
-        return centrality(self.edges, n_roots=n_roots, tier=tier)
+        return centrality(
+            self.edges, n_roots=n_roots, tier=tier, assume_canonical=True
+        )
 
     def betweenness(self, n_roots: int = 16, tier: str = "auto") -> DataFrame:
         from .operators.betweenness import betweenness
 
-        return betweenness(self.edges, n_roots=n_roots, tier=tier)
+        return betweenness(
+            self.edges, n_roots=n_roots, tier=tier, assume_canonical=True
+        )
 
     def sssp(self, root: int | None = None, tier: str = "auto") -> DataFrame:
         """Unit-weight shortest paths (== BFS distances) from the facade's
@@ -284,7 +288,7 @@ class Graph:
 
         t = self._tier(tier)
         op = coreness_blocked if t == "blocked" else coreness
-        return op(self.edges).state
+        return op(self.edges, assume_canonical=True).state
 
     def hyperball(self, rounds: int = 4) -> DataFrame:
         """(v, reg_sum, zeros, ball_estimate) — HLL-estimated

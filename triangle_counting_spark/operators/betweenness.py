@@ -48,13 +48,14 @@ def betweenness(
     n_roots: int = 16,
     tier: str = "auto",
     max_iter: int = 256,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """(v, betweenness) for every vertex — Brandes-Pich sampled estimate
     (n/k)·Σ_sampled δ_s(v)/2 over undirected shortest paths. Exact when
     n_roots >= |V|. Deterministic: the root sample is md5-ranked."""
     from .distances import sample_roots
 
-    ce = canonical_edges(edges)
+    ce = edges.select(SRC, DST) if assume_canonical else canonical_edges(edges)
     if tier == "auto":
         from ..plans.planner import choose_iterative_tier
 

@@ -165,7 +165,10 @@ def distance_stats(
 
 
 def centrality(
-    edges: DataFrame, n_roots: int = 16, tier: str = "auto"
+    edges: DataFrame,
+    n_roots: int = 16,
+    tier: str = "auto",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """(v, harmonic, closeness) — sampled-source centrality per vertex.
 
@@ -189,7 +192,7 @@ def centrality(
     k stays O(100) while n is billions: state is k·n rows, the same
     bound sampled_distances already carries.
     """
-    ce = canonical_edges(edges)
+    ce = edges.select(SRC, DST) if assume_canonical else canonical_edges(edges)
     verts = (
         ce.select(F.col(SRC).alias("v")).union(ce.select(F.col(DST).alias("v"))).distinct()
     )

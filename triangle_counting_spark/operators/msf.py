@@ -168,6 +168,7 @@ def _msf_shuffle(
             )
         )
         if per_c.limit(1).count() == 0:
+            labeled.unpersist()
             break
         picked = per_c.select(SRC, DST, "w").distinct()
         forest = _ckpt(
@@ -225,6 +226,10 @@ def _msf_shuffle(
             .where(F.coalesce("ls", F.col("cs")) != F.coalesce("ld", F.col("cd")))
             .select(SRC, DST, "w")
         )
+        # e/comp/forest are eagerly checkpointed above, so nothing still
+        # references this round's cached edge set — release it now instead
+        # of leaking one CacheManager entry per Borůvka round
+        labeled.unpersist()
 
     spark = wedges.sparkSession
     if forest is None:

@@ -55,14 +55,8 @@ def hyperball_registers(
     Round = sym ⋈ state (one shuffle on vertex id) → union own sketch →
     64 MAX aggregates; eager localCheckpoint truncates lineage per round
     (kcore_edges discipline, subgraphs.py:41)."""
-    spark = edges.sparkSession
-    _nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     ce = edges if assume_canonical else canonical_edges(edges)
-    sym = (
-        symmetrize(ce)
-        .repartition(_nshuf, SRC)
-        .persist()
-    )
+    sym = _prepared_sym(ce)
 
     vstr = F.col("v").cast("string")
     h1 = F.conv(F.substring(F.md5(vstr), 1, 8), 16, 10).cast("long")
@@ -75,19 +69,8 @@ def hyperball_registers(
         degrees(ce).select("v", init.alias("regs")).localCheckpoint(eager=True)
     )
 
-    reg_cols = [F.max(F.col("regs")[i]).alias(f"_r{i}") for i in range(M)]
-    rebuild = F.array(*[F.col(f"_r{i}") for i in range(M)]).cast("array<tinyint>")
     for _ in range(rounds):
-        nbr = sym.join(
-            state.select(F.col("v").alias(SRC), "regs"), SRC
-        ).select(F.col(DST).alias("v"), "regs")
-        state = (
-            nbr.unionByName(state)
-            .groupBy("v")
-            .agg(*reg_cols)
-            .select("v", rebuild.alias("regs"))
-            .localCheckpoint(eager=True)
-        )
+        state = _one_round(sym, state)
     sym.unpersist()
     return state
 

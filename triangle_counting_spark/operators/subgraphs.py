@@ -134,6 +134,7 @@ def coreness(
     checkpoint_every: int = 10,
     run_id: str | None = None,
     resume: bool = True,
+    assume_canonical: bool = False,
 ) -> "LoopResult":
     """Core decomposition, shuffle tier: LoopResult whose state is
     ``(v: long, coreness: long)``.
@@ -158,7 +159,7 @@ def coreness(
     from ..plans.iterate import loop
 
     _nshuf = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    ce = canonical_edges(edges)
+    ce = edges.select(SRC, DST) if assume_canonical else canonical_edges(edges)
     # joined every round — persist pre-partitioned on SRC so each round
     # only shuffles the (much smaller) state table (labelprop.py note)
     sym = symmetrize(ce).repartition(_nshuf, SRC).persist(StorageLevel.MEMORY_AND_DISK)
@@ -206,7 +207,9 @@ def coreness(
     return result
 
 
-def coreness_blocked(edges: DataFrame, max_iter: int = 10_000) -> "LoopResult":
+def coreness_blocked(
+    edges: DataFrame, max_iter: int = 10_000, assume_canonical: bool = False
+) -> "LoopResult":
     """Core decomposition, in-memory tier: same h-index fixpoint swept over
     a driver-local CSR with vectorized numpy rounds (sort neighbor values
     per adjacency segment, rank within segment, h = segment-max of
@@ -220,7 +223,8 @@ def coreness_blocked(edges: DataFrame, max_iter: int = 10_000) -> "LoopResult":
     from ..plans.iterate import LoopResult
 
     spark = edges.sparkSession
-    pdf = canonical_edges(edges).toPandas()
+    ce = edges.select(SRC, DST) if assume_canonical else canonical_edges(edges)
+    pdf = ce.toPandas()
     if len(pdf) == 0:
         empty = spark.createDataFrame([], "v long, coreness long")
         return LoopResult(state=empty, iterations=0, converged=True, delta=0.0)

@@ -74,10 +74,9 @@ def streaming_sessionize(
     a bare ``cast('timestamp')`` would interpret an NTZ-read wall clock
     in the SESSION zone and shift every session by the UTC offset under
     a non-UTC harness (the r3 ``sessions`` failure mode)."""
-    from ..functions.events import epoch_seconds
+    from ..functions.events import epoch_seconds, exact_sum
 
     events = events.withColumn("ts", F.timestamp_seconds(epoch_seconds(events)))
-    micro = F.round(F.col("value") * 1_000_000).cast("long")
     return (
         events.withWatermark("ts", watermark)
         .groupBy(
@@ -86,7 +85,7 @@ def streaming_sessionize(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (F.sum(micro) / F.lit(1_000_000.0)).alias("sum_value"),
+            exact_sum("value", "sum_value"),
             F.min(F.unix_seconds(F.col("ts"))).alias("session_start_epoch"),
             F.max(F.unix_seconds(F.col("ts"))).alias("session_end_epoch"),
         )
