@@ -154,3 +154,48 @@ def test_max_result_size_matches_blocked_tier_model(spark, monkeypatch):
     # and the live session carries it (≥ the 2 GiB floor, not Spark's 1g)
     assert int(spark.conf.get("spark.driver.maxResultSize").rstrip("b")) >= 2 * 1024**3 or \
         spark.conf.get("spark.driver.maxResultSize") == str(2 * 1024**3)
+
+
+def test_ngram_vocabulary_positional_and_idless(spark):
+    """id_col must stay keyword-only so the historical positional call
+    (docs, n, text_col, min_count) keeps working, and a corpus without a
+    doc_id column must count each row as its own document."""
+    from triangle_counting_spark.functions.text import ngram_vocabulary
+
+    docs = spark.createDataFrame([("a b c",), ("b c",)], ["text"])
+    # positional min_count in the 4th slot
+    out = {r.ngram for r in ngram_vocabulary(docs, 2, "text", 2).collect()}
+    assert out == {"b c"}
+    # id-less corpus: n_docs counts rows, not one synthetic doc
+    rows = {r.ngram: (r.n_occurrences, r.n_docs)
+            for r in ngram_vocabulary(docs, 2).collect()}
+    assert rows == {"a b": (1, 1), "b c": (2, 2)}
+
+
+def test_profile_table_quoted_column_name(spark):
+    """profile_table builds stack() via the Column API, so column names
+    with SQL-significant characters (quotes) profile instead of raising
+    a ParseException."""
+    from triangle_counting_spark.functions.profile import profile_table
+
+    df = spark.createDataFrame([(1, "x"), (2, None)], ["a", "it's_flag"])
+    out = {r.col_name: (r.n_rows, r.n_nulls) for r in profile_table(df).collect()}
+    assert out == {"a": (2, 0), "it's_flag": (2, 1)}
+
+
+def test_hourly_bucket_floors_pre_epoch_timestamps(spark):
+    """hour_epoch must FLOOR (like date_trunc), not truncate toward zero:
+    an event 30 min before the epoch belongs to the -3600 hour, not 0."""
+    import datetime as dt
+
+    from triangle_counting_spark.functions.events import hourly_event_stats
+
+    events = spark.createDataFrame(
+        [
+            (1, "c", 1.0, dt.datetime(1969, 12, 31, 23, 30, 0), 10),
+            (2, "c", 1.0, dt.datetime(1970, 1, 1, 0, 30, 0), 11),
+        ],
+        "event_id long, event_type string, value double, ts timestamp_ntz, user_id long",
+    )
+    out = {r.hour_epoch for r in hourly_event_stats(events).collect()}
+    assert out == {-3600, 0}
