@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------- helpers
 
 PR_ITERS = 10
+HITS_ITERS = 10
 PR_DAMPING = 0.85
 LP_ITERS = 3
 TOPK_K = 5
@@ -75,6 +76,70 @@ def _pagerank_sql() -> str:
         + ", params AS (SELECT COUNT(*)::DOUBLE AS n FROM verts),\n"
         + ",\n".join(its)
         + f"\nSELECT v, ROUND(rank, 6) AS rank FROM r{PR_ITERS}"
+    )
+
+
+# directed md5-sampled co-occurrence graph (matches
+# sources/edges.py:directed_cooccurrence_edges; same text as the scc
+# oracle's inline block)
+DEDGES_CTE = """
+dedges AS MATERIALIZED (
+  SELECT CASE WHEN ho % 2 = 0 THEN src ELSE dst END AS src,
+         CASE WHEN ho % 2 = 0 THEN dst ELSE src END AS dst
+  FROM (
+    SELECT src, dst,
+      ('0x'||substr(md5(src::VARCHAR||','||dst::VARCHAR),1,8))::BIGINT AS hs,
+      ('0x'||substr(md5(src::VARCHAR||','||dst::VARCHAR),9,8))::BIGINT AS ho
+    FROM (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ) _e
+  ) _h WHERE hs % 10 < 1
+),
+dverts AS (SELECT DISTINCT src AS v FROM dedges UNION SELECT DISTINCT dst FROM dedges)
+"""
+
+
+def _hits_sql() -> str:
+    """Generate HITS_ITERS synchronous hub/authority iterations over the
+    directed md5-sampled graph: auth = normalize(Aᵀ·hub), hub =
+    normalize(A·auth), L2 norm after each half-step — exactly the float
+    ops the engine runs (operators/hits.py)."""
+    its = [
+        "h0 AS (SELECT v, 1.0/SQRT((SELECT n FROM params)) AS hub FROM dverts)"
+    ]
+    for i in range(1, HITS_ITERS + 1):
+        its.append(
+            f"""a{i}r AS MATERIALIZED (
+  SELECT e.dst AS v, SUM(h{i-1}.hub) AS s
+  FROM dedges e JOIN h{i-1} ON e.src = h{i-1}.v GROUP BY e.dst
+),
+a{i} AS MATERIALIZED (
+  SELECT dverts.v,
+         COALESCE(a{i}r.s, 0.0) / (SELECT SQRT(SUM(s*s)) FROM a{i}r) AS auth
+  FROM dverts LEFT JOIN a{i}r ON dverts.v = a{i}r.v
+),
+h{i}r AS MATERIALIZED (
+  SELECT e.src AS v, SUM(a{i}.auth) AS s
+  FROM dedges e JOIN a{i} ON e.dst = a{i}.v GROUP BY e.src
+),
+h{i} AS MATERIALIZED (
+  SELECT dverts.v,
+         COALESCE(h{i}r.s, 0.0) / (SELECT SQRT(SUM(s*s)) FROM h{i}r) AS hub
+  FROM dverts LEFT JOIN h{i}r ON dverts.v = h{i}r.v
+)"""
+        )
+    last = HITS_ITERS
+    return (
+        "WITH "
+        + DEDGES_CTE
+        + ", params AS (SELECT COUNT(*)::DOUBLE AS n FROM dverts),\n"
+        + ",\n".join(its)
+        + f"""
+SELECT dverts.v, ROUND(h{last}.hub, 6) AS hub, ROUND(a{last}.auth, 6) AS auth
+FROM dverts JOIN h{last} ON dverts.v = h{last}.v
+JOIN a{last} ON dverts.v = a{last}.v"""
     )
 
 
@@ -453,6 +518,32 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     from triangle_counting_spark.operators.subgraphs import ktruss_edges
 
     return ktruss_edges(_edges(spark, sf_dir), KTRUSS_K)
+
+
+def q_cohesive_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kcore + ktruss edge filters merged into one tagged slot (driver
+    50-gate budget; each remains an independent operator — the union only
+    merges their DRIVER slot, like graph_scalars / pagerank_variants)."""
+    kc = q_kcore(spark, sf_dir).select(F.lit("kcore").alias("kind"), "src", "dst")
+    kt = q_ktruss(spark, sf_dir).select(F.lit("ktruss").alias("kind"), "src", "dst")
+    return kc.unionByName(kt)
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities on the deterministic md5-sampled DIRECTED
+    co-occurrence graph (the scc gate's graph); oracle = generated
+    fixed-iteration SQL replaying both half-steps and L2 norms. Gate pins
+    the SHUFFLE tier; pytest pins blocked == shuffle == numpy."""
+    from triangle_counting_spark.operators.hits import hits_fixed
+    from triangle_counting_spark.sources.edges import directed_cooccurrence_edges
+
+    de = directed_cooccurrence_edges(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
+    )
+    h = hits_fixed(de, HITS_ITERS, tier="shuffle")
+    return h.select(
+        "v", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
 
 
 def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1157,8 +1248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_derivation": q_edge_derivation,
         "triangle_count": q_triangle_count,
         "triangle_strategies": q_triangle_strategies,
-        "kcore": q_kcore,
-        "ktruss": q_ktruss,
+        "cohesive_edges": q_cohesive_edges,
+        "hits": q_hits,
         "coreness": q_coreness,
         "triangle_delta": q_triangle_delta,
         "streaming_triangles": q_streaming_triangles,
@@ -1602,8 +1693,15 @@ sims AS (
   FROM e a JOIN e b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, ROUND(cs, 6) AS cos_sim FROM sims WHERE cs >= 0.35""",
-        "kcore": _kcore_sql(KCORE_K),
-        "ktruss": _ktruss_sql(KTRUSS_K),
+        # kcore + ktruss merged into one tagged slot (driver 50-gate
+        # budget); each constituent keeps its own full iterative-peeling
+        # SQL replay, composed as subqueries
+        "cohesive_edges": (
+            f"SELECT 'kcore' AS kind, src, dst FROM ({_kcore_sql(KCORE_K)})\n"
+            "UNION ALL\n"
+            f"SELECT 'ktruss' AS kind, src, dst FROM ({_ktruss_sql(KTRUSS_K)})"
+        ),
+        "hits": _hits_sql(),
         "triangle_delta": (
             "WITH "
             + EDGES_CTE
