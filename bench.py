@@ -136,6 +136,17 @@ def main() -> None:
         de = directed_cooccurrence_edges(lineitem, "l_orderkey", "l_partkey")
         strongly_connected_components(de).groupBy("scc_id").count().count()
 
+    def hits_run():
+        from triangle_counting_spark.operators.hits import hits_fixed
+        from triangle_counting_spark.sources.edges import (
+            directed_cooccurrence_edges,
+        )
+
+        de = directed_cooccurrence_edges(lineitem, "l_orderkey", "l_partkey")
+        hits_fixed(de, 10, tier="shuffle").agg(
+            F.sum("hub"), F.sum("auth")
+        ).collect()
+
     root_box: dict = {}
 
     def bfs_run():
@@ -190,6 +201,7 @@ def main() -> None:
         ("sessions", lambda: sessionize(events).count()),
         ("tf_idf", lambda: tf_idf(docs, min_df=3).count()),
         ("scc", scc_run),
+        ("hits_10it", hits_run),
         ("doc_chunks",
          lambda: chunk_documents(docs, chunk_tokens=32, overlap=8).count()),
         ("table_profile", lambda: profile_table(docs).collect()),

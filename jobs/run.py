@@ -1,7 +1,7 @@
 """spark-submit entry point.
 
     spark-submit --py-files tcs.zip jobs/run.py --input <edges parquet | lineitem parquet> \
-        --job triangles|pagerank|components|labelprop|kcore|ktruss|scc|bowtie|msf|all \
+        --job triangles|pagerank|components|labelprop|kcore|ktruss|scc|bowtie|msf|hits|densest|all \
         [--checkpoint-dir DIR] [--run-id ID] [--k K] \
         [--weight-col COL] [--personalized-for v1,v2,...]
 
@@ -59,7 +59,7 @@ def main() -> None:
             )
 
             edges = cooccurrence_weighted_edges(df, g, i)
-        elif args.job in ("scc", "bowtie"):
+        elif args.job in ("scc", "bowtie", "hits"):
             # directed analytics need a directed derivation — the canonical
             # src<dst edge list is a DAG (all SCCs trivially singletons)
             from triangle_counting_spark.sources.edges import (
@@ -142,6 +142,24 @@ def main() -> None:
         n_scc = sizes.count()
         out["scc"] = {"n_scc": n_scc, "sec": time.time() - t0,
                       "edges_per_sec": m / (time.time() - t0)}
+    if args.job == "hits":
+        from triangle_counting_spark.operators.hits import hits
+
+        t0 = time.time()
+        r = hits(edges, tol=args.tol, checkpoint_dir=args.checkpoint_dir,
+                 run_id=args.run_id)
+        r.state.count()
+        out["hits"] = {"iterations": r.iterations, "converged": r.converged,
+                       "sec": time.time() - t0}
+    if args.job == "densest":
+        from triangle_counting_spark.operators.densest import densest_subgraph
+
+        t0 = time.time()
+        rows = densest_subgraph(edges)
+        n_sub = rows.count()
+        rho = rows.select("density").first()["density"] if n_sub else 0.0
+        out["densest"] = {"vertices": n_sub, "density": rho,
+                          "sec": time.time() - t0}
     if args.job == "bowtie":
         from triangle_counting_spark.operators.bowtie import bowtie_decomposition
 

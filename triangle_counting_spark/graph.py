@@ -263,6 +263,27 @@ class Graph:
 
         return label_propagation_fixed(self.edges, iterations)
 
+    def louvain(self, tier: str = "auto", **kw) -> DataFrame:
+        """(v, community) — modularity-optimizing Louvain communities
+        (synchronous parity-gated local moving + contraction levels)."""
+        from .operators.louvain import louvain
+
+        return louvain(self.edges, tier=self._tier(tier), **kw)
+
+    def densest_subgraph(self, tier: str = "auto", **kw) -> DataFrame:
+        """(v, density) — densest-subgraph approximation (Charikar greedy
+        blocked / Bahmani (1+ε)-peeling shuffle)."""
+        from .operators.densest import densest_subgraph
+
+        return densest_subgraph(self.edges, tier=self._tier(tier), **kw)
+
+    def hits(self, iterations: int = 10, tier: str = "auto") -> DataFrame:
+        """(v, hub, auth) after ``iterations`` synchronous HITS rounds —
+        NOTE: treats the edge table as DIRECTED as given."""
+        from .operators.hits import hits_fixed
+
+        return hits_fixed(self.edges, iterations, tier=self._tier(tier))
+
     def triangle_count_delta(self, delta_edges: DataFrame) -> int:
         """Triangles added by inserting ``delta_edges`` (incremental)."""
         from .operators.triangles import triangle_count_delta
