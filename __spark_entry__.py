@@ -103,9 +103,10 @@ dverts AS (SELECT DISTINCT src AS v FROM dedges UNION SELECT DISTINCT dst FROM d
 
 def _hits_sql() -> str:
     """Generate HITS_ITERS synchronous hub/authority iterations over the
-    directed md5-sampled graph: auth = normalize(Aᵀ·hub), hub =
-    normalize(A·auth), L2 norm after each half-step — exactly the float
-    ops the engine runs (operators/hits.py)."""
+    directed md5-sampled graph, replaying the ENGINE's op order exactly
+    (operators/hits.py): a_raw = Aᵀ·hub, h_raw = A·a_raw (the hub gather
+    consumes the UNNORMALIZED auth sums — normalization is
+    scale-invariant), then auth = a_raw/‖a_raw‖ and hub = h_raw/‖h_raw‖."""
     its = [
         "h0 AS (SELECT v, 1.0/SQRT((SELECT n FROM params)) AS hub FROM dverts)"
     ]
@@ -115,14 +116,14 @@ def _hits_sql() -> str:
   SELECT e.dst AS v, SUM(h{i-1}.hub) AS s
   FROM dedges e JOIN h{i-1} ON e.src = h{i-1}.v GROUP BY e.dst
 ),
+h{i}r AS MATERIALIZED (
+  SELECT e.src AS v, SUM(a{i}r.s) AS s
+  FROM dedges e JOIN a{i}r ON e.dst = a{i}r.v GROUP BY e.src
+),
 a{i} AS MATERIALIZED (
   SELECT dverts.v,
          COALESCE(a{i}r.s, 0.0) / (SELECT SQRT(SUM(s*s)) FROM a{i}r) AS auth
   FROM dverts LEFT JOIN a{i}r ON dverts.v = a{i}r.v
-),
-h{i}r AS MATERIALIZED (
-  SELECT e.src AS v, SUM(a{i}.auth) AS s
-  FROM dedges e JOIN a{i} ON e.dst = a{i}.v GROUP BY e.src
 ),
 h{i} AS MATERIALIZED (
   SELECT dverts.v,
@@ -1119,10 +1120,13 @@ def q_graph_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     global clustering coefficient × k-metric × sampled triangle estimate
     (each still an independent operator; the crossJoin of 1-row frames
     only merges their DRIVER slot)."""
+    from triangle_counting_spark.operators.triangles import four_cycle_count
+
     return (
         q_clustering(spark, sf_dir)
         .crossJoin(q_k_metric(spark, sf_dir))
         .crossJoin(q_triangle_estimate(spark, sf_dir))
+        .crossJoin(four_cycle_count(_edges(spark, sf_dir)))
     )
 
 
@@ -2117,10 +2121,25 @@ UNION ALL SELECT start_v, walk_ix, 3::BIGINT, v FROM b3"""
 
     # ---- r4 merged slots: composed from the constituents' own replays, so
     # the merged gate verifies exactly what the three separate gates did
+    # exact C4 count: wedge pairs (u < w) + integer div-4 identity
+    # (operators/triangles.py:four_cycle_count; counted 4× = 2 diagonals
+    # × 2·C(c,2) per common-neighbor pair)
+    four_cycles_sql = (
+        "WITH "
+        + EDGES_CTE
+        + """,
+wp AS (
+  SELECT a.dst AS u, b.dst AS w, COUNT(*)::BIGINT AS c
+  FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY 1, 2
+)
+SELECT COALESCE(SUM(c*(c-1)) // 4, 0)::BIGINT AS four_cycles FROM wp"""
+    )
     out["graph_scalars"] = (
         "SELECT * FROM (\n" + out.pop("clustering_coefficient") + "\n) _gc\n"
         "CROSS JOIN (\n" + out.pop("k_metric") + "\n) _km\n"
-        "CROSS JOIN (\n" + out.pop("triangle_estimate") + "\n) _te"
+        "CROSS JOIN (\n" + out.pop("triangle_estimate") + "\n) _te\n"
+        "CROSS JOIN (\n" + four_cycles_sql + "\n) _c4"
     )
     out["pagerank_variants"] = (
         "SELECT 'weighted' AS variant, v, rank FROM (\n"

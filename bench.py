@@ -61,6 +61,8 @@ def main() -> None:
     from triangle_counting_spark.functions.dedup import ngram_jaccard_pairs
     from triangle_counting_spark.functions.similarity import brute_force_topk, ivf_topk
     from triangle_counting_spark.operators.bfs import bfs_levels
+    from triangle_counting_spark.operators.densest import densest_subgraph
+    from triangle_counting_spark.operators.louvain import louvain
     from triangle_counting_spark.operators.walks import random_walks
     from triangle_counting_spark.functions.events import sessionize
     from triangle_counting_spark.functions.profile import profile_table
@@ -202,6 +204,10 @@ def main() -> None:
         ("tf_idf", lambda: tf_idf(docs, min_df=3).count()),
         ("scc", scc_run),
         ("hits_10it", hits_run),
+        ("louvain",
+         lambda: louvain(state["edges"]).groupBy("community").count().count()),
+        ("densest_subgraph",
+         lambda: densest_subgraph(state["edges"]).count()),
         ("doc_chunks",
          lambda: chunk_documents(docs, chunk_tokens=32, overlap=8).count()),
         ("table_profile", lambda: profile_table(docs).collect()),

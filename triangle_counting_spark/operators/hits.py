@@ -77,33 +77,45 @@ def hits(
         "v", F.lit(init).alias("hub"), F.lit(init).alias("auth")
     )
 
+    pinned: list[DataFrame] = []
+
     def step(state: DataFrame, _i: int) -> DataFrame:
-        # auth half-step: gather hub over in-edges, L2-normalize
+        # Both half-steps, ONE driver round-trip. Normalization is
+        # scale-invariant — normalize(A·(a/c)) == normalize(A·a) — so the
+        # hub gather consumes the UNNORMALIZED auth sums and both L2 norms
+        # come back in a single union-aggregate collect (at 1000 executors
+        # a scalar collect is a full stage barrier; one per iteration, not
+        # two). a_raw is cached so the union job and the hub gather share
+        # one materialization; unpersisted once the next state exists.
         a_raw = (
-            e.join(
-                state.select(F.col("v").alias(SRC), "hub"), SRC
-            )
+            e.join(state.select(F.col("v").alias(SRC), "hub"), SRC)
             .groupBy(F.col(DST).alias("v"))
             .agg(F.sum("hub").alias("s"))
+            .persist()
         )
-        a_norm = float(
-            a_raw.agg(F.sqrt(F.sum(F.col("s") * F.col("s")))).collect()[0][0]
-            or 0.0
+        h_raw = (
+            e.join(a_raw.select(F.col("v").alias(DST), "s"), DST)
+            .groupBy(F.col(SRC).alias("v"))
+            .agg(F.sum(F.col("s")).alias("s"))
         )
+        norms = {
+            r["t"]: float(r["n"] or 0.0)
+            for r in a_raw.select(F.lit("a").alias("t"), "s")
+            .unionByName(h_raw.select(F.lit("h").alias("t"), "s"))
+            .groupBy("t")
+            .agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("n"))
+            .collect()
+        }
+        a_norm, h_norm = norms.get("a", 0.0), norms.get("h", 0.0)
         auth = a_raw.select(
             "v", (F.col("s") / F.lit(a_norm)).alias("auth_new")
         )
-        # hub half-step: gather the NEW auth over out-edges, L2-normalize
-        h_raw = (
-            e.join(auth.select(F.col("v").alias(DST), "auth_new"), DST)
-            .groupBy(F.col(SRC).alias("v"))
-            .agg(F.sum("auth_new").alias("s"))
-        )
-        h_norm = float(
-            h_raw.agg(F.sqrt(F.sum(F.col("s") * F.col("s")))).collect()[0][0]
-            or 0.0
-        )
         hub = h_raw.select("v", (F.col("s") / F.lit(h_norm)).alias("hub_new"))
+        # retire the previous iteration's cached sums; keep this one until
+        # the loop's eager checkpoint has materialized the new state
+        while pinned:
+            pinned.pop().unpersist()
+        pinned.append(a_raw)
         return (
             state.select(
                 "v",
@@ -141,6 +153,8 @@ def hits(
         fingerprint=f"hits|tol={tol}|n={n}",
         resume=resume,
     )
+    while pinned:
+        pinned.pop().unpersist()
     e.unpersist()
     result.state = result.state.select("v", "hub", "auth")
     return result
@@ -182,11 +196,13 @@ def hits_blocked(edges: DataFrame, iterations: int) -> DataFrame:
     hub = np.full(n, 1.0 / np.sqrt(n))
     auth = np.full(n, 1.0 / np.sqrt(n))
     for _ in range(int(iterations)):
+        # same op order as the shuffle tier: the hub gather consumes the
+        # UNNORMALIZED auth sums (normalization is scale-invariant)
         a_raw = np.bincount(di, weights=hub[si], minlength=n)
+        h_raw = np.bincount(si, weights=a_raw[di], minlength=n)
         a_norm = float(np.sqrt((a_raw * a_raw).sum()))
-        auth = a_raw / a_norm if a_norm > 0 else a_raw
-        h_raw = np.bincount(si, weights=auth[di], minlength=n)
         h_norm = float(np.sqrt((h_raw * h_raw).sum()))
+        auth = a_raw / a_norm if a_norm > 0 else a_raw
         hub = h_raw / h_norm if h_norm > 0 else h_raw
     import pandas as pd
 

@@ -48,7 +48,14 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from .adjacency import oriented_adjacency
-from .orientation import DST, SRC, canonical_edges, degrees, orient_by_degree
+from .orientation import (
+    DST,
+    SRC,
+    canonical_edges,
+    degrees,
+    orient_by_degree,
+    symmetrize,
+)
 
 _KERNEL_SCHEMA = "partial long"
 
@@ -1045,6 +1052,38 @@ def wedge_count(edges: DataFrame) -> DataFrame:
         F.coalesce(F.sum(F.col("degree") * (F.col("degree") - 1) / 2), F.lit(0))
         .cast("long")
         .alias("wedges")
+    )
+
+
+def four_cycle_count(edges: DataFrame) -> DataFrame:
+    """Exact 4-cycle (C4 / "square") count — the next motif after the
+    triangle for link graphs (bipartite-ish web/co-occurrence structure
+    that triangles miss entirely).
+
+    Identity: every C4 a–b–c–d has exactly two diagonal vertex pairs
+    ({a,c} and {b,d}), and a pair (u,w) with ``c`` common neighbors closes
+    C(c,2) squares through each choice of two centers — so
+    Σ_{u<w} c·(c−1) counts every square exactly 4× (2 diagonals × the 2
+    from c·(c−1) = 2·C(c,2)). One wedge enumeration (the tc_wedge search
+    space, tc.c:52-86) + one hash aggregate; integer arithmetic end to end
+    (``div 4``, never float — exact beyond 2^53 where a double division
+    would silently round).
+    """
+    ce = canonical_edges(edges)
+    sym = symmetrize(ce)
+    wedges = (
+        sym.select(F.col(SRC).alias("v"), F.col(DST).alias("u"))
+        .join(
+            sym.select(F.col(SRC).alias("v"), F.col(DST).alias("w")), "v"
+        )
+        .where(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return wedges.agg(
+        F.coalesce(
+            F.expr("sum(c * (c - 1)) div 4"), F.lit(0).cast("long")
+        ).alias("four_cycles")
     )
 
 
