@@ -604,9 +604,13 @@ def q_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from triangle_counting_spark.operators.triangles import triangles_per_vertex
+    """Per-vertex triangle counts widened to the full local-clustering
+    panel (v, degree, triangles, lcc) — every vertex, zero-filled; the
+    lcc double is one exact-integer division so the oracle hash-matches
+    (operators/triangles.py:local_clustering)."""
+    from triangle_counting_spark.operators.triangles import local_clustering
 
-    return triangles_per_vertex(_edges(spark, sf_dir))
+    return local_clustering(_edges(spark, sf_dir))
 
 
 def q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1022,9 +1026,12 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from triangle_counting_spark.operators.stats import degree_histogram
+    """Degree histogram + prefix sums widened with knn(k) average
+    neighbor degree and the rich-club coefficient φ(k) — exact-integer
+    sums, one division each (operators/stats.py:degree_panel)."""
+    from triangle_counting_spark.operators.stats import degree_panel
 
-    return degree_histogram(_edges(spark, sf_dir))
+    return degree_panel(_edges(spark, sf_dir))
 
 
 def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1323,8 +1330,14 @@ tri AS (
 ),
 corners AS (
   SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
-)
-SELECT v, COUNT(*)::BIGINT AS triangles FROM corners GROUP BY v"""
+),
+tpv AS (SELECT v, COUNT(*)::BIGINT AS triangles FROM corners GROUP BY v)
+SELECT d.v, d.degree,
+       COALESCE(t.triangles, 0)::BIGINT AS triangles,
+       CASE WHEN d.degree < 2 THEN 0.0
+            ELSE 2.0 * COALESCE(t.triangles, 0) / (d.degree * (d.degree - 1))
+       END AS lcc
+FROM deg d LEFT JOIN tpv t ON d.v = t.v"""
         ),
         "degrees": "WITH " + EDGES_CTE + "\nSELECT v, degree FROM deg",
         "degree_stats": (
@@ -1626,10 +1639,32 @@ FROM events GROUP BY 1, 2""",
             "WITH "
             + EDGES_CTE
             + """,
-hist AS (SELECT degree, COUNT(*)::BIGINT AS cnt FROM deg GROUP BY degree)
-SELECT degree, cnt,
-       SUM(cnt) OVER (ORDER BY degree ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cnt
-FROM hist"""
+hist AS (SELECT degree, COUNT(*)::BIGINT AS cnt FROM deg GROUP BY degree),
+nbr AS (
+  SELECT ds.degree AS degree, SUM(dd.degree)::BIGINT AS nbr_deg_sum
+  FROM sym s
+  JOIN deg ds ON s.src = ds.v
+  JOIN deg dd ON s.dst = dd.v
+  GROUP BY ds.degree
+),
+emin AS (
+  SELECT degree, (COUNT(*) // 2)::BIGINT AS ecnt FROM (
+    SELECT LEAST(ds.degree, dd.degree) AS degree
+    FROM sym s JOIN deg ds ON s.src = ds.v JOIN deg dd ON s.dst = dd.v
+  ) GROUP BY degree
+)
+SELECT h.degree, h.cnt,
+       SUM(h.cnt) OVER (ORDER BY h.degree ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cnt,
+       (COALESCE(n.nbr_deg_sum, 0) / CAST(h.degree * h.cnt AS DOUBLE)) AS knn,
+       CASE WHEN SUM(h.cnt) OVER (ORDER BY h.degree DESC ROWS UNBOUNDED PRECEDING) < 2
+            THEN 0.0
+            ELSE 2.0 * SUM(COALESCE(e.ecnt, 0)) OVER (ORDER BY h.degree DESC ROWS UNBOUNDED PRECEDING)
+                 / (SUM(h.cnt) OVER (ORDER BY h.degree DESC ROWS UNBOUNDED PRECEDING)
+                    * (SUM(h.cnt) OVER (ORDER BY h.degree DESC ROWS UNBOUNDED PRECEDING) - 1))
+       END AS rich_club
+FROM hist h
+LEFT JOIN nbr n ON h.degree = n.degree
+LEFT JOIN emin e ON h.degree = e.degree"""
         ),
         "clustering_coefficient": (
             "WITH "

@@ -113,6 +113,21 @@ class Graph:
             clustering_coefficient(self.edges).collect()[0]["global_clustering"]
         )
 
+    def local_clustering(self) -> DataFrame:
+        from .operators.triangles import local_clustering
+
+        return local_clustering(self.edges)
+
+    def four_cycle_count(self) -> int:
+        from .operators.triangles import four_cycle_count
+
+        return int(four_cycle_count(self.edges).collect()[0]["four_cycles"])
+
+    def degree_panel(self) -> DataFrame:
+        from .operators.stats import degree_panel
+
+        return degree_panel(self.edges)
+
     def bfs(self, roots: list[int] | None = None, tier: str = "auto") -> DataFrame:
         from .operators.bfs import bfs_levels
 

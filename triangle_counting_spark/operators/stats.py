@@ -15,7 +15,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .orientation import DST, SRC, canonical_edges, degrees
+from .orientation import DST, SRC, canonical_edges, degrees, symmetrize
 
 
 def degree_stats(edges: DataFrame) -> DataFrame:
@@ -92,6 +92,77 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
     hist = degrees(edges).groupBy("degree").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.orderBy("degree").rowsBetween(Window.unboundedPreceding, 0)
     return hist.select("degree", "cnt", F.sum("cnt").over(w).alias("cum_cnt"))
+
+
+def degree_panel(edges: DataFrame) -> DataFrame:
+    """(degree, cnt, cum_cnt, knn, rich_club) — the degree-histogram rows
+    (MapJIK prefix-sum view, tc_parallel.c:837-871) widened with the two
+    classic degree-correlation structure functions of link-graph analysis:
+
+    - ``knn(k)``: mean neighbor degree over all half-edges leaving a
+      degree-k vertex (Pastor-Satorras/Vázquez/Vespignani) — the resolved
+      form of the scalar assortativity r (operators/stats.py companion).
+      Computed as an exact BIGINT sum of neighbor degrees divided ONCE,
+      so the double is bit-identical across engines.
+    - ``rich_club(k)``: φ(k) = 2·E_≥k / (N_≥k·(N_≥k−1)) where N_≥k counts
+      vertices of degree ≥ k and E_≥k counts edges whose BOTH endpoints
+      have degree ≥ k (Zhou/Mondragón). E_≥k is the descending cumulative
+      of the min-endpoint-degree histogram — min(d_u, d_v) is itself a
+      realized vertex degree, so one left join onto the degree rows plus
+      one descending window covers every class with no densification.
+      φ = 0 where N_≥k < 2 (no pair to wire).
+
+    Scale shape: two hash aggregates + two equi-joins of a ~hundreds-row
+    histogram; the only per-edge work is the sym×deg joins, broadcast
+    when small, shuffle-partitioned on the vertex key otherwise. The
+    window runs over the tiny histogram frame, never the edge set.
+    """
+    from pyspark.sql import Window
+
+    deg = degrees(edges)
+    sym_e = symmetrize(canonical_edges(edges))
+    d_src = deg.select(F.col("v").alias(SRC), F.col("degree").alias("deg_src"))
+    d_dst = deg.select(F.col("v").alias(DST), F.col("degree").alias("deg_dst"))
+    both = sym_e.join(d_src, SRC).join(d_dst, DST)
+
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("cnt"))
+    # Σ of neighbor degrees per source-degree class (exact, BIGINT)
+    nbr = both.groupBy(F.col("deg_src").alias("degree")).agg(
+        F.sum("deg_dst").cast("long").alias("nbr_deg_sum")
+    )
+    # half of the sym stream is each canonical edge once ⇒ min-endpoint
+    # histogram from the canonical half (deg_src vs deg_dst symmetric in
+    # sym, so take every sym row once and divide by 2 — exact, both
+    # orientations contribute the same min)
+    emin = (
+        both.select(F.least("deg_src", "deg_dst").alias("degree"))
+        .groupBy("degree")
+        .agg((F.count(F.lit(1)) / 2).cast("long").alias("ecnt"))
+    )
+
+    asc = Window.orderBy("degree").rowsBetween(Window.unboundedPreceding, 0)
+    desc = Window.orderBy(F.col("degree").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    half_edges = F.col("degree") * F.col("cnt")  # k·N_k half-edges, exact
+    n_ge = F.sum("cnt").over(desc)
+    e_ge = F.sum(F.coalesce(F.col("ecnt"), F.lit(0).cast("long"))).over(desc)
+    return (
+        hist.join(nbr, "degree", "left")
+        .join(emin, "degree", "left")
+        .select(
+            "degree",
+            "cnt",
+            F.sum("cnt").over(asc).alias("cum_cnt"),
+            (
+                F.coalesce(F.col("nbr_deg_sum"), F.lit(0).cast("long"))
+                / half_edges
+            ).alias("knn"),
+            F.when(n_ge < 2, F.lit(0.0))
+            .otherwise((F.lit(2.0) * e_ge) / (n_ge * (n_ge - F.lit(1))))
+            .alias("rich_club"),
+        )
+    )
 
 
 def comm_cost_model(edges: DataFrame) -> DataFrame:

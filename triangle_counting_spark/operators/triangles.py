@@ -1087,6 +1087,33 @@ def four_cycle_count(edges: DataFrame) -> DataFrame:
     )
 
 
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """(v, degree, triangles, lcc) for EVERY vertex — the per-vertex
+    local clustering coefficient lcc(v) = 2·T_v / (d_v·(d_v−1)), the
+    notebook's global coefficient (ipynb cell 21) resolved to vertex
+    granularity. Vertices in no triangle are zero-filled (degree < 2 ⇒
+    lcc = 0 by convention, no 0/0).
+
+    Determinism across engines: T_v and d_v are exact integers and the
+    expression performs exactly ONE float operation (the division), so
+    Spark and any ANSI-SQL oracle produce bit-identical doubles — no
+    aggregation-order float drift, no ROUND boundary.
+    """
+    deg = degrees(edges)
+    tpv = triangles_per_vertex(edges)
+    t = F.coalesce(F.col("triangles"), F.lit(0).cast("long"))
+    return deg.join(tpv, "v", "left").select(
+        "v",
+        "degree",
+        t.alias("triangles"),
+        F.when(F.col("degree") < 2, F.lit(0.0))
+        .otherwise(
+            (F.lit(2.0) * t) / (F.col("degree") * (F.col("degree") - F.lit(1)))
+        )
+        .alias("lcc"),
+    )
+
+
 def clustering_coefficient(edges: DataFrame) -> DataFrame:
     """Global clustering coefficient = 3·triangles / wedges. One shared
     canonicalization feeds both the triangle count and the wedge count
