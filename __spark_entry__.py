@@ -1127,13 +1127,17 @@ def q_graph_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     global clustering coefficient × k-metric × sampled triangle estimate
     (each still an independent operator; the crossJoin of 1-row frames
     only merges their DRIVER slot)."""
-    from triangle_counting_spark.operators.triangles import four_cycle_count
+    from triangle_counting_spark.operators.triangles import (
+        four_clique_count,
+        four_cycle_count,
+    )
 
     return (
         q_clustering(spark, sf_dir)
         .crossJoin(q_k_metric(spark, sf_dir))
         .crossJoin(q_triangle_estimate(spark, sf_dir))
         .crossJoin(four_cycle_count(_edges(spark, sf_dir)))
+        .crossJoin(four_clique_count(_edges(spark, sf_dir)))
     )
 
 
@@ -2170,11 +2174,29 @@ wp AS (
 )
 SELECT COALESCE(SUM(c*(c-1)) // 4, 0)::BIGINT AS four_cycles FROM wp"""
     )
+    # exact K4 count: value-sorted triangle pairs sharing their two
+    # smallest vertices + the closing (z1, z2) edge probe
+    # (operators/triangles.py:four_clique_count — counted exactly once)
+    four_cliques_sql = (
+        "WITH "
+        + EDGES_CTE
+        + """,
+tri AS (
+  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z FROM edges e1
+  JOIN edges e2 ON e1.dst = e2.src
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)
+SELECT COUNT(*)::BIGINT AS four_cliques
+FROM tri t1
+JOIN tri t2 ON t1.x = t2.x AND t1.y = t2.y AND t1.z < t2.z
+JOIN edges e ON e.src = t1.z AND e.dst = t2.z"""
+    )
     out["graph_scalars"] = (
         "SELECT * FROM (\n" + out.pop("clustering_coefficient") + "\n) _gc\n"
         "CROSS JOIN (\n" + out.pop("k_metric") + "\n) _km\n"
         "CROSS JOIN (\n" + out.pop("triangle_estimate") + "\n) _te\n"
-        "CROSS JOIN (\n" + four_cycles_sql + "\n) _c4"
+        "CROSS JOIN (\n" + four_cycles_sql + "\n) _c4\n"
+        "CROSS JOIN (\n" + four_cliques_sql + "\n) _k4"
     )
     out["pagerank_variants"] = (
         "SELECT 'weighted' AS variant, v, rank FROM (\n"

@@ -59,3 +59,55 @@ def test_four_cycles_empty_and_duplicates(spark):
     noisy = [(1, 2), (2, 1), (2, 3), (3, 4), (4, 1), (3, 4)]
     df = spark.createDataFrame(noisy, "src long, dst long")
     assert four_cycle_count(df).collect()[0]["four_cycles"] == 1
+
+
+# ---- K4 (4-clique) counting ----
+
+from triangle_counting_spark.operators.triangles import four_clique_count  # noqa: E402
+
+
+def _brute_k4(edges: list[tuple[int, int]]) -> int:
+    eset = {frozenset(e) for e in edges if e[0] != e[1]}
+    verts = sorted({v for e in edges for v in e})
+    return sum(
+        1
+        for quad in combinations(verts, 4)
+        if all(frozenset(p) in eset for p in combinations(quad, 2))
+    )
+
+
+@pytest.mark.parametrize("edges", FIXTURES)
+def test_four_cliques_match_brute_force(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = four_clique_count(df).collect()[0]["four_cliques"]
+    assert got == _brute_k4(edges)
+
+
+def test_four_cliques_closed_forms(spark):
+    from math import comb
+
+    # K6: C(6,4) = 15; two disjoint K4s: 2; K4 + chorded square: 1
+    k6 = list(combinations(range(6), 2))
+    df = spark.createDataFrame(k6, "src long, dst long")
+    assert four_clique_count(df).collect()[0]["four_cliques"] == comb(6, 4)
+    two = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [
+        (a, b) for a in range(10, 14) for b in range(a + 1, 14)
+    ]
+    df2 = spark.createDataFrame(two, "src long, dst long")
+    assert four_clique_count(df2).collect()[0]["four_cliques"] == 2
+
+
+def test_four_cliques_empty_and_duplicates(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert four_clique_count(empty).collect()[0]["four_cliques"] == 0
+    noisy = [(1, 2), (2, 1), (1, 3), (2, 3), (1, 4), (2, 4), (3, 4), (3, 4)]
+    df = spark.createDataFrame(noisy, "src long, dst long")
+    assert four_clique_count(df).collect()[0]["four_cliques"] == 1
+
+
+def test_four_cliques_rmat_differential(spark):
+    from triangle_counting_spark.sources.rmat import rmat_edges
+
+    e = rmat_edges(spark, scale=7, edge_factor=6, seed=5)
+    pairs = [(r["src"], r["dst"]) for r in e.collect()]
+    assert four_clique_count(e).collect()[0]["four_cliques"] == _brute_k4(pairs)

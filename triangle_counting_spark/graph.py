@@ -123,6 +123,11 @@ class Graph:
 
         return int(four_cycle_count(self.edges).collect()[0]["four_cycles"])
 
+    def four_clique_count(self) -> int:
+        from .operators.triangles import four_clique_count
+
+        return int(four_clique_count(self.edges).collect()[0]["four_cliques"])
+
     def degree_panel(self) -> DataFrame:
         from .operators.stats import degree_panel
 

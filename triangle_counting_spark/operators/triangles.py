@@ -1114,6 +1114,47 @@ def local_clustering(edges: DataFrame) -> DataFrame:
     )
 
 
+def four_clique_count(edges: DataFrame) -> DataFrame:
+    """Exact K4 (4-clique) count — completes the 4-vertex motif panel
+    (triangle → C4 → K4) for link-graph cohesion analysis.
+
+    Identity: store each triangle value-sorted (x < y < z); a K4
+    {w < x < y < z} is counted EXACTLY once by pairing its two triangles
+    that share the (w, x) edge as their two smallest vertices —
+    (w, x, y) ⋈ (w, x, z) on (x, y) with y < z — and closing with the
+    (y, z) edge probe (check_edge semantics, graph.c:166-178). No other
+    (pair, pair) combination of the K4's four triangles shares its two
+    smallest vertices, so no /k correction is needed.
+
+    The enumeration reuses the degree-oriented kernel's triangle stream
+    (O(m·√m) work, tc.c:944-975) and value-sorts each triple with pure
+    integer arithmetic (mid = a+b+c − min − max; ids < 2³¹ keep the sum
+    ANSI-safe in BIGINT); the pairing is one equi-join on the sorted
+    (x, y) prefix plus one edge semi-join — all JVM, integer end to end.
+    """
+    ce = canonical_edges(edges)
+    tri = _oriented_triangles(orient_by_degree(ce))
+    s = tri.select(
+        F.least("a", "b", "c").alias("x"),
+        (
+            F.col("a") + F.col("b") + F.col("c")
+            - F.least("a", "b", "c")
+            - F.greatest("a", "b", "c")
+        ).alias("y"),
+        F.greatest("a", "b", "c").alias("z"),
+    )
+    pairs = s.alias("t1").join(
+        s.alias("t2"),
+        (F.col("t1.x") == F.col("t2.x"))
+        & (F.col("t1.y") == F.col("t2.y"))
+        & (F.col("t1.z") < F.col("t2.z")),
+    ).select(F.col("t1.z").alias(SRC), F.col("t2.z").alias(DST))
+    return (
+        pairs.join(ce, [SRC, DST], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("four_cliques"))
+    )
+
+
 def clustering_coefficient(edges: DataFrame) -> DataFrame:
     """Global clustering coefficient = 3·triangles / wedges. One shared
     canonicalization feeds both the triangle count and the wedge count
