@@ -63,6 +63,8 @@ def main() -> None:
     from triangle_counting_spark.operators.bfs import bfs_levels
     from triangle_counting_spark.operators.densest import densest_subgraph
     from triangle_counting_spark.operators.louvain import louvain
+    from triangle_counting_spark.operators.stats import degree_panel
+    from triangle_counting_spark.operators.triangles import local_clustering
     from triangle_counting_spark.operators.walks import random_walks
     from triangle_counting_spark.functions.events import sessionize
     from triangle_counting_spark.functions.profile import profile_table
@@ -208,6 +210,9 @@ def main() -> None:
          lambda: louvain(state["edges"]).groupBy("community").count().count()),
         ("densest_subgraph",
          lambda: densest_subgraph(state["edges"]).count()),
+        ("local_clustering",
+         lambda: local_clustering(state["edges"]).count()),
+        ("degree_panel", lambda: degree_panel(state["edges"]).collect()),
         ("doc_chunks",
          lambda: chunk_documents(docs, chunk_tokens=32, overlap=8).count()),
         ("table_profile", lambda: profile_table(docs).collect()),

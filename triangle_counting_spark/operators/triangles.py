@@ -1068,6 +1068,15 @@ def four_cycle_count(edges: DataFrame) -> DataFrame:
     space, tc.c:52-86) + one hash aggregate; integer arithmetic end to end
     (``div 4``, never float — exact beyond 2^53 where a double division
     would silently round).
+
+    Scale note: the work is intrinsically Σ_v C(d_v, 2) (the wedge
+    space) — here materialized by a streaming, spill-safe equi-join with
+    map-side partial aggregation. The tempting alternative (explode
+    per-row neighbor-pair arrays off the adjacency table) halves the
+    generated rows but holds C(d, 2) structs in executor memory PER HUB
+    ROW — quadratic on a 10⁶-degree hub where the join merely streams.
+    Exact global C4 at 100 TB should cap or sample hubs explicitly
+    (max_shingle_docfreq-style) rather than trade streaming for blowup.
     """
     ce = canonical_edges(edges)
     sym = symmetrize(ce)
