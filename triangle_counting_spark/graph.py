@@ -283,6 +283,11 @@ class Graph:
 
         return label_propagation_fixed(self.edges, iterations)
 
+    def maximal_independent_set(self, tier: str = "auto") -> DataFrame:
+        from .operators.mis import maximal_independent_set
+
+        return maximal_independent_set(self.edges, tier=tier)
+
     def louvain(self, tier: str = "auto", **kw) -> DataFrame:
         """(v, community) — modularity-optimizing Louvain communities
         (synchronous parity-gated local moving + contraction levels)."""
