@@ -63,6 +63,7 @@ def main() -> None:
     from triangle_counting_spark.operators.bfs import bfs_levels
     from triangle_counting_spark.operators.densest import densest_subgraph
     from triangle_counting_spark.operators.louvain import louvain
+    from triangle_counting_spark.operators.mis import maximal_independent_set
     from triangle_counting_spark.operators.stats import degree_panel
     from triangle_counting_spark.operators.triangles import local_clustering
     from triangle_counting_spark.operators.walks import random_walks
@@ -212,6 +213,9 @@ def main() -> None:
          lambda: densest_subgraph(state["edges"]).count()),
         ("local_clustering",
          lambda: local_clustering(state["edges"]).count()),
+        ("mis",
+         lambda: maximal_independent_set(state["edges"])
+         .where(F.col("in_mis")).count()),
         ("degree_panel", lambda: degree_panel(state["edges"]).collect()),
         ("doc_chunks",
          lambda: chunk_documents(docs, chunk_tokens=32, overlap=8).count()),
