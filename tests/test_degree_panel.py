@@ -107,3 +107,17 @@ def test_rmat_differential(spark):
     prows = {r["degree"]: r for r in degree_panel(e).collect()}
     assert {k: r["knn"] for k, r in prows.items()} == pytest.approx(knn)
     assert {k: r["rich_club"] for k, r in prows.items()} == pytest.approx(rich)
+
+
+def test_noisy_input_canonicalized_consistently(spark):
+    # duplicate + reversed edges must not inflate degrees vs triangles
+    # (review fix: one canonicalization feeds both sides)
+    noisy = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 2)]
+    rows = {r["v"]: r for r in local_clustering(make_edges(spark, noisy)).collect()}
+    for v in (1, 2, 3):
+        assert rows[v]["degree"] == 2 and rows[v]["triangles"] == 1
+        assert rows[v]["lcc"] == 1.0
+    panel = degree_panel(make_edges(spark, noisy)).collect()
+    assert len(panel) == 1
+    assert panel[0]["degree"] == 2 and panel[0]["cnt"] == 3
+    assert panel[0]["knn"] == 2.0 and panel[0]["rich_club"] == 1.0

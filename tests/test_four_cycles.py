@@ -111,3 +111,13 @@ def test_four_cliques_rmat_differential(spark):
     e = rmat_edges(spark, scale=7, edge_factor=6, seed=5)
     pairs = [(r["src"], r["dst"]) for r in e.collect()]
     assert four_clique_count(e).collect()[0]["four_cliques"] == _brute_k4(pairs)
+
+
+def test_four_cliques_huge_ids_no_overflow(spark):
+    # ids near 2^62: the a+b+c sum would wrap; the nested least/greatest
+    # median must not (review fix)
+    base = 4_400_000_000_000_000_000
+    ids = [base, base + 7, base + 13, base + 21]
+    k4 = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    assert four_clique_count(df).collect()[0]["four_cliques"] == 1

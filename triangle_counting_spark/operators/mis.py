@@ -123,6 +123,19 @@ def _mis_shuffle(ce: DataFrame, max_iter: int) -> DataFrame:
         prev.unpersist()
         if undecided.count() == 0:
             break
+    else:
+        # loudly incomplete, never silently partial: the documented
+        # contract is a row for EVERY non-isolated vertex, and the
+        # blocked tier always delivers it (ADVICE r3 discipline —
+        # exhausted bounds must raise, not truncate)
+        remaining = undecided.count()
+        if remaining > 0:
+            sym.unpersist()
+            raise RuntimeError(
+                f"maximal_independent_set: {remaining} vertices still "
+                f"undecided after max_iter={max_iter} rounds (adversarial "
+                "priority chain?) — raise max_iter or use tier='blocked'"
+            )
     out = decided_parts[0]
     for part in decided_parts[1:]:
         out = out.unionByName(part)
@@ -144,10 +157,11 @@ def _mis_blocked(ce: DataFrame) -> DataFrame:
     src = pdf[SRC].to_numpy(np.int64)
     dst = pdf[DST].to_numpy(np.int64)
     verts = np.unique(np.concatenate([src, dst]))
-    idx = {int(v): i for i, v in enumerate(verts)}
     n = len(verts)
-    si = np.fromiter((idx[int(v)] for v in src), np.int64, len(src))
-    di = np.fromiter((idx[int(v)] for v in dst), np.int64, len(dst))
+    # verts is sorted-unique, so searchsorted IS the factorize — pure
+    # numpy, no per-element Python (the hits_blocked pattern)
+    si = np.searchsorted(verts, src)
+    di = np.searchsorted(verts, dst)
     # symmetric CSR
     heads = np.concatenate([si, di])
     tails = np.concatenate([di, si])

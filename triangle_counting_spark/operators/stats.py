@@ -119,11 +119,18 @@ def degree_panel(edges: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    deg = degrees(edges)
-    sym_e = symmetrize(canonical_edges(edges))
+    # one canonicalization feeds BOTH the degree table and the edge scan
+    # (degrees over raw rows would count duplicate/reversed edges the sym
+    # stream dedups); deg is reused three times and `both` — the only
+    # per-edge work — feeds two aggregates, so both are materialized once
+    ce = canonical_edges(edges)
+    deg = degrees(ce).localCheckpoint(eager=True)
+    sym_e = symmetrize(ce)
     d_src = deg.select(F.col("v").alias(SRC), F.col("degree").alias("deg_src"))
     d_dst = deg.select(F.col("v").alias(DST), F.col("degree").alias("deg_dst"))
-    both = sym_e.join(d_src, SRC).join(d_dst, DST)
+    both = (
+        sym_e.join(d_src, SRC).join(d_dst, DST).localCheckpoint(eager=True)
+    )
 
     hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("cnt"))
     # Σ of neighbor degrees per source-degree class (exact, BIGINT)

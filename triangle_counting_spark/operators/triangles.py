@@ -1108,8 +1108,11 @@ def local_clustering(edges: DataFrame) -> DataFrame:
     Spark and any ANSI-SQL oracle produce bit-identical doubles — no
     aggregation-order float drift, no ROUND boundary.
     """
-    deg = degrees(edges)
-    tpv = triangles_per_vertex(edges)
+    # one canonicalization feeds BOTH sides: degrees over raw rows would
+    # count duplicate/reversed edges that triangles_per_vertex dedups
+    ce = canonical_edges(edges)
+    deg = degrees(ce)
+    tpv = triangles_per_vertex(ce)
     t = F.coalesce(F.col("triangles"), F.lit(0).cast("long"))
     return deg.join(tpv, "v", "left").select(
         "v",
@@ -1137,21 +1140,25 @@ def four_clique_count(edges: DataFrame) -> DataFrame:
 
     The enumeration reuses the degree-oriented kernel's triangle stream
     (O(m·√m) work, tc.c:944-975) and value-sorts each triple with pure
-    integer arithmetic (mid = a+b+c − min − max; ids < 2³¹ keep the sum
-    ANSI-safe in BIGINT); the pairing is one equi-join on the sorted
+    integer arithmetic (the median via nested least/greatest — never an
+    id sum, which could wrap for ids near 2^62); the pairing is one
+    equi-join on the sorted
     (x, y) prefix plus one edge semi-join — all JVM, integer end to end.
     """
     ce = canonical_edges(edges)
     tri = _oriented_triangles(orient_by_degree(ce))
+    # overflow-free median (a+b+c − min − max wraps near 2^62 ids) and an
+    # EAGER materialization: the triangle stream is the dominant cost
+    # (orientation + 3-way join) and feeds BOTH sides of the self-join —
+    # without it Catalyst enumerates the triangles twice
     s = tri.select(
         F.least("a", "b", "c").alias("x"),
-        (
-            F.col("a") + F.col("b") + F.col("c")
-            - F.least("a", "b", "c")
-            - F.greatest("a", "b", "c")
+        F.greatest(
+            F.least("a", "b"),
+            F.least(F.greatest("a", "b"), F.col("c")),
         ).alias("y"),
         F.greatest("a", "b", "c").alias("z"),
-    )
+    ).localCheckpoint(eager=True)
     pairs = s.alias("t1").join(
         s.alias("t2"),
         (F.col("t1.x") == F.col("t2.x"))
