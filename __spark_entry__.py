@@ -1626,7 +1626,7 @@ flagged AS (
            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_ix
   FROM lagged
 )
-SELECT user_id, session_ix,
+SELECT user_id, session_ix::BIGINT AS session_ix,
        MIN(epoch_ms(ts) // 1000)::BIGINT AS session_start_epoch,
        MAX(epoch_ms(ts) // 1000)::BIGINT AS session_end_epoch,
        COUNT(*)::BIGINT AS n_events,

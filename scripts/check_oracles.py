@@ -75,8 +75,20 @@ def main() -> int:
             problems.append(f"cols {sorted(got.columns)} vs {sorted(want.columns)}")
         if not problems:
             g, w = normalize(got), normalize(want)
+            # Dtype-strict: the driver's value hash is type-sensitive, so a
+            # DuckDB HUGEINT landing as float64 vs Spark's int64 must FAIL
+            # here too (r4's `sessions` gate failed exactly this way while
+            # the old check_dtype=False pass masked it).
+            dt_bad = [
+                f"{c}: spark {g[c].dtype} vs oracle {w[c].dtype}"
+                for c in g.columns
+                if g[c].dtype != w[c].dtype
+            ]
+            if dt_bad:
+                problems.append("dtypes: " + "; ".join(dt_bad))
+        if not problems:
             try:
-                pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+                pd.testing.assert_frame_equal(g, w, check_dtype=True, check_exact=True)
             except AssertionError as e:
                 msg = str(e).splitlines()
                 problems.append("values: " + " | ".join(msg[:3]))

@@ -286,7 +286,7 @@ class Graph:
     def maximal_independent_set(self, tier: str = "auto") -> DataFrame:
         from .operators.mis import maximal_independent_set
 
-        return maximal_independent_set(self.edges, tier=tier)
+        return maximal_independent_set(self.edges, tier=self._tier(tier))
 
     def louvain(self, tier: str = "auto", **kw) -> DataFrame:
         """(v, community) — modularity-optimizing Louvain communities
@@ -303,11 +303,20 @@ class Graph:
         return densest_subgraph(self.edges, tier=self._tier(tier), **kw)
 
     def hits(self, iterations: int = 10, tier: str = "auto") -> DataFrame:
-        """(v, hub, auth) after ``iterations`` synchronous HITS rounds —
-        NOTE: treats the edge table as DIRECTED as given."""
-        from .operators.hits import hits_fixed
-
-        return hits_fixed(self.edges, iterations, tier=self._tier(tier))
+        """HITS is inherently DIRECTED, but the Graph facade canonicalizes
+        edges (re-oriented src < dst) in ``__init__`` — hub/auth scores on
+        the canonical table would be artifacts of vertex-id ordering, not
+        of the user's link direction. Rejected here for the same reason
+        ``Graph.pagerank`` rejects ``directed=True``: call
+        ``operators.hits.hits_fixed()`` on the ORIGINAL edge table."""
+        raise ValueError(
+            "Graph.hits is not supported: the Graph facade canonicalizes "
+            "edges (src < dst), which destroys the link direction HITS "
+            "needs — hub/auth on the canonical table would be artifacts "
+            "of vertex-id ordering. Call "
+            "triangle_counting_spark.operators.hits.hits_fixed() on the "
+            "original (un-canonicalized) edge table instead."
+        )
 
     def triangle_count_delta(self, delta_edges: DataFrame) -> int:
         """Triangles added by inserting ``delta_edges`` (incremental)."""

@@ -91,6 +91,18 @@ def _densest_shuffle(
         m = m2
         if m == 0:
             break
+    else:
+        # exhausted max_rounds with edges left: the documented 2(1+ε)
+        # guarantee only holds once peeling runs to empty (BKV needs
+        # ~log_{1+ε}(n) rounds — 217 at ε=0.1, n=1e9), so a silent
+        # best-so-far return could degrade arbitrarily. Exhausted bounds
+        # must raise, not truncate (same discipline as mis.py max_iter).
+        raise RuntimeError(
+            f"densest_subgraph: peeling did not reach the empty graph "
+            f"after max_rounds={max_rounds} (m={m} edges remain) — the "
+            f"2(1+eps) bound needs ~log_(1+eps)(n) rounds; raise "
+            f"max_rounds (or epsilon)"
+        )
     assert best_df is not None
     return best_df.select("v", F.lit(float(best_rho)).alias("density"))
 

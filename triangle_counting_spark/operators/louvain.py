@@ -2,8 +2,13 @@
 
 The classic sequential Louvain visits vertices one at a time, which no
 shuffle dataflow can reproduce. Both tiers here implement the SAME
-deterministic synchronous variant (so blocked == shuffle at any
-parallelism, and a python reference can replay it exactly):
+deterministic synchronous variant, so a python reference can replay it
+exactly. Bit-identity between blocked and shuffle holds for
+integer-valued edge weights (including the unweighted default, weight
+1), where every float sum is exact; for fractional weights the two
+tiers sum k_{v,D}/Σ_tot in different orders (Spark hash-agg vs pandas
+groupby), so near-tie move decisions MAY diverge — same algorithm,
+allclose modularity, but not guaranteed identical assignments:
 
 Per local-moving round r on the current (possibly contracted) graph:
   - every vertex v scores each neighboring community D (plus its own):
@@ -284,17 +289,18 @@ def _louvain_blocked(
     ed = np.concatenate([dst, src])
     ew = np.concatenate([w, w])
     verts = np.unique(es)
-    selfw = {int(v): 0.0 for v in verts}
-    assign = {int(v): int(v) for v in verts}
+    selfw_arr = np.zeros(len(verts), dtype=np.float64)
+    orig_verts = verts.copy()
+    assign_arr = orig_verts.astype(np.int64).copy()
     two_m = float(ew.sum())
 
     for _level in range(max_levels):
-        vmap = {int(v): i for i, v in enumerate(verts)}
         n = len(verts)
-        si = np.array([vmap[int(x)] for x in es], dtype=np.int64)
-        di = np.array([vmap[int(x)] for x in ed], dtype=np.int64)
-        sarr = np.array([selfw[int(v)] for v in verts])
-        k = np.bincount(si, weights=ew, minlength=n) + 2.0 * sarr
+        # verts is sorted-unique, so searchsorted IS the id->index map —
+        # no per-element Python loop (same pattern as mis.py's blocked tier)
+        si = np.searchsorted(verts, es)
+        di = np.searchsorted(verts, ed)
+        k = np.bincount(si, weights=ew, minlength=n) + 2.0 * selfw_arr
         comm = verts.astype(np.int64).copy()  # community = own id
 
         quiet = 0
@@ -341,35 +347,35 @@ def _louvain_blocked(
             if quiet >= 2:
                 break
 
-        # compose assignment through this level
-        lvl_map = {int(v): int(c) for v, c in zip(verts, comm)}
-        assign = {ov: lvl_map[c] for ov, c in assign.items()}
-        n_comm = len(set(lvl_map.values()))
-        if n_comm == n:
+        # compose assignment through this level: every assigned community id
+        # is a vertex id of THIS level, so map it through comm vectorized
+        assign_arr = comm[np.searchsorted(verts, assign_arr)]
+        new_verts = np.unique(comm)
+        if len(new_verts) == n:
             break
         # contract
         cs = comm[si]
         cd = comm[di]
         intra = cs == cd
-        new_selfw: dict[int, float] = {}
-        for v, c in lvl_map.items():
-            new_selfw[c] = new_selfw.get(c, 0.0) + selfw[v]
+        # carry old self-loop weight to each community, plus half the
+        # intra-community edge weight (symmetric list double-counts it)
+        ci = np.searchsorted(new_verts, comm)
+        new_selfw = np.bincount(ci, weights=selfw_arr, minlength=len(new_verts))
         if intra.any():
-            dfi = pd.DataFrame({"c": cs[intra], "w": ew[intra]})
-            for c, ws in dfi.groupby("c")["w"].sum().items():
-                new_selfw[int(c)] = new_selfw.get(int(c), 0.0) + float(ws) / 2.0
+            csi = np.searchsorted(new_verts, cs[intra])
+            new_selfw += np.bincount(
+                csi, weights=ew[intra] / 2.0, minlength=len(new_verts)
+            )
         keep = ~intra
         dfe = pd.DataFrame({"s": cs[keep], "d": cd[keep], "w": ew[keep]})
         agg = dfe.groupby(["s", "d"], sort=False)["w"].sum().reset_index()
         es = agg["s"].to_numpy(dtype=np.int64)
         ed = agg["d"].to_numpy(dtype=np.int64)
         ew = agg["w"].to_numpy()
-        verts = np.unique(
-            np.concatenate([es, np.array(sorted(new_selfw), dtype=np.int64)])
-        )
-        selfw = {int(v): new_selfw.get(int(v), 0.0) for v in verts}
+        # edge endpoints are community ids ⊆ new_verts, so new_verts IS the
+        # next level's sorted-unique vertex set
+        verts = new_verts
+        selfw_arr = new_selfw
 
-    out = pd.DataFrame(
-        {"v": list(assign.keys()), "community": list(assign.values())}
-    ).sort_values("v")
+    out = pd.DataFrame({"v": orig_verts, "community": assign_arr})
     return spark.createDataFrame(out)

@@ -131,6 +131,7 @@ def _mis_shuffle(ce: DataFrame, max_iter: int) -> DataFrame:
         remaining = undecided.count()
         if remaining > 0:
             sym.unpersist()
+            undecided.unpersist()
             raise RuntimeError(
                 f"maximal_independent_set: {remaining} vertices still "
                 f"undecided after max_iter={max_iter} rounds (adversarial "
