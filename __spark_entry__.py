@@ -833,6 +833,18 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity(e, label_propagation_fixed(e, LP_ITERS))
 
 
+def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal independent set (Luby, deterministic priorities) — gated
+    with the md5 priority variant so the oracle can replay the EXACT set:
+    with a fixed total order, Luby's parallel rounds provably equal the
+    sequential greedy sweep (the lexicographically-first MIS), and DuckDB
+    re-runs the rounds verbatim as a recursive CTE
+    (operators/mis.py; reference anchor tc.c:528-556 edge-set removal)."""
+    from triangle_counting_spark.operators.mis import maximal_independent_set
+
+    return maximal_independent_set(_edges(spark, sf_dir), priority="md5")
+
+
 
 
 def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1123,10 +1135,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_graph_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar-panel merge of three formerly separate 1-row gates:
-    global clustering coefficient × k-metric × sampled triangle estimate
-    (each still an independent operator; the crossJoin of 1-row frames
-    only merges their DRIVER slot)."""
+    """Scalar-panel merge of formerly separate 1-row gates: global
+    clustering coefficient × k-metric × sampled triangle estimate ×
+    motif counts × LP modularity (r5: modularity moved in here to free a
+    slot for the `mis` gate — each constituent is still an independent
+    operator; the crossJoin of 1-row frames only merges their DRIVER
+    slot)."""
     from triangle_counting_spark.operators.triangles import (
         four_clique_count,
         four_cycle_count,
@@ -1138,6 +1152,7 @@ def q_graph_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(q_triangle_estimate(spark, sf_dir))
         .crossJoin(four_cycle_count(_edges(spark, sf_dir)))
         .crossJoin(four_clique_count(_edges(spark, sf_dir)))
+        .crossJoin(q_modularity(spark, sf_dir))
     )
 
 
@@ -1280,7 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_levels": q_bfs_levels,
         "distance_stats": q_distance_stats,
         "sssp": q_sssp,
-        "modularity": q_modularity,
+        "mis": q_mis,
         "random_walks": q_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
         "biased_walks": q_biased_walks,
@@ -2196,8 +2211,49 @@ JOIN edges e ON e.src = t1.z AND e.dst = t2.z"""
         "CROSS JOIN (\n" + out.pop("k_metric") + "\n) _km\n"
         "CROSS JOIN (\n" + out.pop("triangle_estimate") + "\n) _te\n"
         "CROSS JOIN (\n" + four_cycles_sql + "\n) _c4\n"
-        "CROSS JOIN (\n" + four_cliques_sql + "\n) _k4"
+        "CROSS JOIN (\n" + four_cliques_sql + "\n) _k4\n"
+        "CROSS JOIN (\n" + out.pop("modularity") + "\n) _q"
     )
+    # mis: Luby's rounds replayed VERBATIM as a recursive CTE — with the
+    # md5 total order both engines compute the lexicographically-first
+    # MIS, so the recursion is deterministic. Each iteration's working
+    # table holds the still-undecided vertices; winners ('w') beat every
+    # undecided neighbor's (md5(v), v) priority, their undecided
+    # neighbors are knocked out ('k'), and only survivors recurse.
+    out["mis"] = """
+WITH RECURSIVE
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+),
+st AS (
+  SELECT DISTINCT src AS v, 'u' AS status FROM sym
+  UNION ALL
+  SELECT s.v,
+    CASE
+      WHEN NOT EXISTS (
+        SELECT 1 FROM sym e JOIN st x ON x.v = e.dst AND x.status = 'u'
+        WHERE e.src = s.v
+          AND (md5(x.v::VARCHAR), x.v) < (md5(s.v::VARCHAR), s.v))
+      THEN 'w'
+      WHEN EXISTS (
+        SELECT 1 FROM sym e JOIN st x ON x.v = e.dst AND x.status = 'u'
+        WHERE e.src = s.v
+          AND NOT EXISTS (
+            SELECT 1 FROM sym e2 JOIN st y ON y.v = e2.dst AND y.status = 'u'
+            WHERE e2.src = x.v
+              AND (md5(y.v::VARCHAR), y.v) < (md5(x.v::VARCHAR), x.v)))
+      THEN 'k'
+      ELSE 'u'
+    END AS status
+  FROM st s
+  WHERE s.status = 'u'
+)
+SELECT v, status = 'w' AS in_mis FROM st WHERE status IN ('w', 'k')"""
     out["pagerank_variants"] = (
         "SELECT 'weighted' AS variant, v, rank FROM (\n"
         + out.pop("pagerank_weighted")

@@ -65,7 +65,11 @@ def main() -> None:
     from triangle_counting_spark.operators.louvain import louvain
     from triangle_counting_spark.operators.mis import maximal_independent_set
     from triangle_counting_spark.operators.stats import degree_panel
-    from triangle_counting_spark.operators.triangles import local_clustering
+    from triangle_counting_spark.operators.triangles import (
+        four_clique_count,
+        four_cycle_count,
+        local_clustering,
+    )
     from triangle_counting_spark.operators.walks import random_walks
     from triangle_counting_spark.functions.events import sessionize
     from triangle_counting_spark.functions.profile import profile_table
@@ -213,6 +217,10 @@ def main() -> None:
          lambda: densest_subgraph(state["edges"]).count()),
         ("local_clustering",
          lambda: local_clustering(state["edges"]).count()),
+        ("four_cycles",
+         lambda: four_cycle_count(state["edges"]).collect()),
+        ("four_cliques",
+         lambda: four_clique_count(state["edges"]).collect()),
         ("mis",
          lambda: maximal_independent_set(state["edges"])
          .where(F.col("in_mis")).count()),

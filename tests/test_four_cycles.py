@@ -121,3 +121,44 @@ def test_four_cliques_huge_ids_no_overflow(spark):
     k4 = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
     df = spark.createDataFrame(k4, "src long, dst long")
     assert four_clique_count(df).collect()[0]["four_cliques"] == 1
+
+
+# --- explicit hub cap (max_hub_degree) ------------------------------------
+
+
+def _hub_fixture():
+    """A square {1,2,3,4} and a K4 {10..13} untouched by the hub, plus a
+    degree-8 hub (99) fanned into both components."""
+    sq = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    k4 = [(a, b) for i, a in enumerate(range(10, 14)) for b in range(10, 14)[i + 1:]]
+    hub = [(99, v) for v in (1, 2, 3, 4, 10, 11, 12, 13)]
+    return sq + k4 + hub
+
+
+def test_four_cycles_hub_cap(spark):
+    edges = _hub_fixture()
+    df = spark.createDataFrame(edges, "src long, dst long")
+    exact = four_cycle_count(df).collect()[0]
+    assert "capped_hubs" not in exact.asDict()  # default schema unchanged
+    # cap below the hub's degree (8): hub removed, motifs of the induced
+    # subgraph remain — matches brute force on the hub-free edge list
+    capped = four_cycle_count(df, max_hub_degree=5).collect()[0]
+    assert capped["capped_hubs"] == 1
+    assert capped["four_cycles"] == _brute_c4([e for e in edges if 99 not in e])
+    # cap above every degree: exact count, zero dropped
+    loose = four_cycle_count(df, max_hub_degree=100).collect()[0]
+    assert loose["capped_hubs"] == 0
+    assert loose["four_cycles"] == exact["four_cycles"]
+
+
+def test_four_cliques_hub_cap(spark):
+    edges = _hub_fixture()
+    df = spark.createDataFrame(edges, "src long, dst long")
+    exact = four_clique_count(df).collect()[0]
+    assert "capped_hubs" not in exact.asDict()
+    capped = four_clique_count(df, max_hub_degree=5).collect()[0]
+    assert capped["capped_hubs"] == 1
+    assert capped["four_cliques"] == _brute_k4([e for e in edges if 99 not in e])
+    loose = four_clique_count(df, max_hub_degree=100).collect()[0]
+    assert loose["capped_hubs"] == 0
+    assert loose["four_cliques"] == exact["four_cliques"]

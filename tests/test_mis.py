@@ -102,3 +102,32 @@ def test_mis_empty(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     assert maximal_independent_set(empty, tier="shuffle").count() == 0
     assert maximal_independent_set(empty, tier="blocked").count() == 0
+
+
+@pytest.mark.parametrize("tier", ["shuffle", "blocked"])
+def test_mis_md5_priority_tiers_identical_and_valid(spark, tier):
+    # the md5 priority (the SQL-replayable driver-gate variant) must obey
+    # the same lexicographic-MIS property as the xxhash64 default
+    from triangle_counting_spark.sources.rmat import rmat_edges
+
+    e = rmat_edges(spark, scale=8, edge_factor=4, seed=3)
+    pairs = [(r["src"], r["dst"]) for r in e.collect()]
+    got = {
+        r["v"]: r["in_mis"]
+        for r in maximal_independent_set(e, tier=tier, priority="md5").collect()
+    }
+    _check_valid(pairs, got)
+    other = {
+        r["v"]: r["in_mis"]
+        for r in maximal_independent_set(
+            e, tier="blocked" if tier == "shuffle" else "shuffle", priority="md5"
+        ).collect()
+    }
+    assert got == other
+
+
+def test_mis_unknown_priority_rejected(spark):
+    with pytest.raises(ValueError, match="priority"):
+        maximal_independent_set(
+            make_edges(spark, [(1, 2)]), tier="shuffle", priority="sha1"
+        )

@@ -39,27 +39,40 @@ def maximal_independent_set(
     edges: DataFrame,
     tier: str = "auto",
     max_iter: int = 200,
+    priority: str = "xxhash64",
 ) -> DataFrame:
     """``(v: long, in_mis: boolean)`` for every non-isolated vertex —
-    the lexicographically-first MIS under the xxhash64 priority order."""
+    the lexicographically-first MIS under the chosen priority order.
+
+    ``priority``: ``"xxhash64"`` (default — one JVM hash per vertex) or
+    ``"md5"`` (hex-string hash available verbatim in ANSI SQL engines,
+    so an external oracle can replay the EXACT same set — the driver
+    gate runs this variant; same algorithm, different total order).
+    """
+    if priority not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown priority {priority!r}")
     if tier == "auto":
         from ..plans.planner import choose_iterative_tier
 
         tier = choose_iterative_tier(edges)
     ce = canonical_edges(edges)
     if tier == "blocked":
-        return _mis_blocked(ce)
+        return _mis_blocked(ce, priority)
     if tier != "shuffle":
         raise ValueError(f"unknown tier {tier!r}")
-    return _mis_shuffle(ce, max_iter)
+    return _mis_shuffle(ce, max_iter, priority)
 
 
-def _priority(col: str = "v"):
+def _priority(col: str = "v", kind: str = "xxhash64"):
     # unique total order: hash first (spreads the id space), id tie-break
-    return F.struct(F.xxhash64(F.col(col)).alias("h"), F.col(col).alias("t"))
+    if kind == "md5":
+        h = F.md5(F.col(col).cast("string"))
+    else:
+        h = F.xxhash64(F.col(col))
+    return F.struct(h.alias("h"), F.col(col).alias("t"))
 
 
-def _mis_shuffle(ce: DataFrame, max_iter: int) -> DataFrame:
+def _mis_shuffle(ce: DataFrame, max_iter: int, priority: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     spark = ce.sparkSession
@@ -90,13 +103,14 @@ def _mis_shuffle(ce: DataFrame, max_iter: int) -> DataFrame:
             sym.join(u_src, SRC)
             .join(u_dst, DST)
             .groupBy(F.col(SRC).alias("v"))
-            .agg(F.min(_priority(DST)).alias("nbr_p"))
+            .agg(F.min(_priority(DST, priority)).alias("nbr_p"))
         )
         # winner: no undecided neighbor at all, or beats the best of them
         winners = (
             undecided.join(nbr_best, "v", "left")
             .where(
-                F.col("nbr_p").isNull() | (_priority("v") < F.col("nbr_p"))
+                F.col("nbr_p").isNull()
+                | (_priority("v", priority) < F.col("nbr_p"))
             )
             .select("v")
             .localCheckpoint(eager=True)
@@ -145,7 +159,7 @@ def _mis_shuffle(ce: DataFrame, max_iter: int) -> DataFrame:
     return result
 
 
-def _mis_blocked(ce: DataFrame) -> DataFrame:
+def _mis_blocked(ce: DataFrame, priority: str = "xxhash64") -> DataFrame:
     """Greedy sweep in priority order over a driver CSR — identical
     output to the parallel rounds by Luby's lexicographic-MIS property."""
     import numpy as np
@@ -170,16 +184,21 @@ def _mis_blocked(ce: DataFrame) -> DataFrame:
     heads, tails = heads[order], tails[order]
     starts = np.searchsorted(heads, np.arange(n))
     ends = np.searchsorted(heads, np.arange(n) + 1)
-    # priority order: xxhash64 equivalence via Spark (one tiny job keeps
-    # the hash definition in ONE place instead of reimplementing xxhash)
+    # priority order via Spark (one tiny job keeps the hash definition in
+    # ONE place instead of reimplementing xxhash64/md5 driver-side)
     hdf = (
         spark.createDataFrame(pd.DataFrame({"v": verts}), "v long")
-        .select("v", F.xxhash64("v").alias("h"))
+        .select("v", _priority("v", priority).getField("h").alias("h"))
         .toPandas()
         .set_index("v")
         .loc[verts]
     )
-    pri = np.lexsort((verts, hdf["h"].to_numpy(np.int64)))
+    # pandas stable sort handles both int64 (xxhash64) and str (md5) keys
+    pri = (
+        pd.DataFrame({"h": hdf["h"].to_numpy(), "v": verts})
+        .sort_values(["h", "v"], kind="stable")
+        .index.to_numpy()
+    )
     state = np.zeros(n, np.int8)  # 0 undecided, 1 in MIS, -1 knocked out
     for i in pri:
         if state[i] == 0:

@@ -1055,7 +1055,27 @@ def wedge_count(edges: DataFrame) -> DataFrame:
     )
 
 
-def four_cycle_count(edges: DataFrame) -> DataFrame:
+def _drop_hubs(ce: DataFrame, max_hub_degree: int):
+    """Induced subgraph on vertices with degree <= max_hub_degree, plus a
+    1-row (capped_hubs: long) DataFrame reporting how many vertices the
+    cap dropped — the dedup family's max_shingle_docfreq pattern applied
+    to motif counting (no silent truncation; the count column becomes a
+    documented lower bound of the uncapped count)."""
+    deg = degrees(ce)
+    hubs = deg.where(F.col("degree") > F.lit(max_hub_degree)).select("v")
+    # hub sets are tiny by construction (a degree cap keeps only the tail)
+    kept = (
+        ce.join(F.broadcast(hubs).withColumnRenamed("v", SRC), SRC, "left_anti")
+        .join(F.broadcast(hubs).withColumnRenamed("v", DST), DST, "left_anti")
+        .select(SRC, DST)
+    )
+    capped = hubs.agg(F.count(F.lit(1)).cast("long").alias("capped_hubs"))
+    return kept, capped
+
+
+def four_cycle_count(
+    edges: DataFrame, max_hub_degree: int | None = None
+) -> DataFrame:
     """Exact 4-cycle (C4 / "square") count — the next motif after the
     triangle for link graphs (bipartite-ish web/co-occurrence structure
     that triangles miss entirely).
@@ -1075,10 +1095,19 @@ def four_cycle_count(edges: DataFrame) -> DataFrame:
     per-row neighbor-pair arrays off the adjacency table) halves the
     generated rows but holds C(d, 2) structs in executor memory PER HUB
     ROW — quadratic on a 10⁶-degree hub where the join merely streams.
-    Exact global C4 at 100 TB should cap or sample hubs explicitly
-    (max_shingle_docfreq-style) rather than trade streaming for blowup.
+
+    ``max_hub_degree``: exact global C4 at 100 TB is quadratic in the
+    largest hub degree (one 10⁶-degree vertex alone yields ~5·10¹¹ wedge
+    rows), so the scale path caps hubs EXPLICITLY: vertices above the cap
+    are removed (induced-subgraph semantics) and the result gains a
+    ``capped_hubs`` column reporting exactly how many — the count column
+    is then a documented lower bound (C4s avoiding all hubs), never a
+    silent truncation. ``None`` (default) = exact, schema unchanged.
     """
     ce = canonical_edges(edges)
+    capped = None
+    if max_hub_degree is not None:
+        ce, capped = _drop_hubs(ce, max_hub_degree)
     sym = symmetrize(ce)
     wedges = (
         sym.select(F.col(SRC).alias("v"), F.col(DST).alias("u"))
@@ -1089,11 +1118,12 @@ def four_cycle_count(edges: DataFrame) -> DataFrame:
         .groupBy("u", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    return wedges.agg(
+    out = wedges.agg(
         F.coalesce(
             F.expr("sum(c * (c - 1)) div 4"), F.lit(0).cast("long")
         ).alias("four_cycles")
     )
+    return out if capped is None else out.crossJoin(capped)
 
 
 def local_clustering(edges: DataFrame) -> DataFrame:
@@ -1126,7 +1156,9 @@ def local_clustering(edges: DataFrame) -> DataFrame:
     )
 
 
-def four_clique_count(edges: DataFrame) -> DataFrame:
+def four_clique_count(
+    edges: DataFrame, max_hub_degree: int | None = None
+) -> DataFrame:
     """Exact K4 (4-clique) count — completes the 4-vertex motif panel
     (triangle → C4 → K4) for link-graph cohesion analysis.
 
@@ -1144,8 +1176,17 @@ def four_clique_count(edges: DataFrame) -> DataFrame:
     id sum, which could wrap for ids near 2^62); the pairing is one
     equi-join on the sorted
     (x, y) prefix plus one edge semi-join — all JVM, integer end to end.
+
+    ``max_hub_degree``: same explicit hub cap as :func:`four_cycle_count`
+    (induced subgraph on degree <= cap, plus a ``capped_hubs`` report
+    column) — the triangle-pair self-join is quadratic in the number of
+    triangles sharing an (x, y) edge, which a mega-hub inflates.
+    ``None`` (default) = exact, schema unchanged.
     """
     ce = canonical_edges(edges)
+    capped = None
+    if max_hub_degree is not None:
+        ce, capped = _drop_hubs(ce, max_hub_degree)
     tri = _oriented_triangles(orient_by_degree(ce))
     # overflow-free median (a+b+c − min − max wraps near 2^62 ids) and an
     # EAGER materialization: the triangle stream is the dominant cost
@@ -1165,10 +1206,11 @@ def four_clique_count(edges: DataFrame) -> DataFrame:
         & (F.col("t1.y") == F.col("t2.y"))
         & (F.col("t1.z") < F.col("t2.z")),
     ).select(F.col("t1.z").alias(SRC), F.col("t2.z").alias(DST))
-    return (
+    out = (
         pairs.join(ce, [SRC, DST], "left_semi")
         .agg(F.count(F.lit(1)).cast("long").alias("four_cliques"))
     )
+    return out if capped is None else out.crossJoin(capped)
 
 
 def clustering_coefficient(edges: DataFrame) -> DataFrame:
