@@ -152,3 +152,90 @@ if HAVE_HYPOTHESIS:
             encode_avi_header(w, h, nf, usec_per_frame=us))
         assert (fmt, ww, hh, nf_out, ts) == ("avi", w, h, nf, None)
         assert dur_ms == nf * us // 1000
+
+
+# --- uncompressed DIB frame decode (r5: the last frame-decode boundary
+# narrows to compressed codecs only) --------------------------------------
+
+
+def _expected_frame_stats(mid: int):
+    import numpy as np
+
+    w = mid % 13 + 4
+    h = (mid * 3) % 11 + 4
+    nf = mid % 5 + 1
+    out = []
+    for f in range(nf):
+        px = (
+            mid * 7 + f * 31 + np.arange(h)[:, None] * 5 + np.arange(w)[None, :]
+        ) % 256
+        out.append((mid, f, w, h, float(px.mean()), int(px.min()), int(px.max())))
+    return out
+
+
+def test_video_frames_closed_form(spark):
+    from triangle_counting_spark.functions.video import (
+        synthetic_dib_video,
+        video_frames,
+    )
+
+    got = sorted(
+        map(tuple, video_frames(synthetic_dib_video(spark, n=12)).collect())
+    )
+    want = sorted(t for mid in range(12) for t in _expected_frame_stats(mid))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:4] == w[:4] and g[5:] == w[5:]
+        assert abs(g[4] - w[4]) < 1e-9
+
+
+def test_video_frames_partition_invariant(spark):
+    from triangle_counting_spark.functions.video import (
+        synthetic_dib_video,
+        video_frames,
+    )
+
+    media = synthetic_dib_video(spark, n=8).localCheckpoint(eager=True)
+    a = sorted(map(tuple, video_frames(media.repartition(1)).collect()))
+    b = sorted(map(tuple, video_frames(media.repartition(7)).collect()))
+    assert a == b
+
+
+def test_video_frames_compressed_rejected(spark):
+    # a '00dc' (compressed) chunk must raise, not silently skip
+    import struct
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from triangle_counting_spark.functions.video import decode_avi_frames, encode_avi_dib
+    import numpy as np
+
+    payload = bytearray(encode_avi_dib(4, 4, [np.zeros((4, 4), np.uint8)]))
+    ix = bytes(payload).find(b"00db")
+    payload[ix : ix + 4] = b"00dc"
+    with _pytest.raises(NotImplementedError, match="00dc"):
+        decode_avi_frames(bytes(payload))
+
+
+def test_dib_metadata_consistent_with_frames(spark):
+    # the metadata walker and the frame decoder must agree on the SAME container
+    from triangle_counting_spark.functions.video import (
+        synthetic_dib_video,
+        video_frames,
+        video_metadata,
+    )
+    from pyspark.sql import functions as F
+
+    media = synthetic_dib_video(spark, n=10).localCheckpoint(eager=True)
+    meta = {r["media_id"]: r for r in video_metadata(media).collect()}
+    per = (
+        video_frames(media)
+        .groupBy("media_id")
+        .agg(F.count("*").alias("nf"), F.first("width").alias("w"),
+             F.first("height").alias("h"))
+        .collect()
+    )
+    for r in per:
+        m = meta[r["media_id"]]
+        assert (m["n_frames"], m["width"], m["height"]) == (r["nf"], r["w"], r["h"])

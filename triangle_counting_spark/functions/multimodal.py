@@ -68,11 +68,13 @@ def _decode_stub(payload: bytes, kind: str):
 
         return decode_image(payload)
     raise NotImplementedError(
-        f"{kind} frame decoding requires codec libraries not present in "
-        "this environment; use extract_features(fake=True) or "
-        "functions.video.video_metadata for container metadata. Audio "
-        "(WAV) and images (PNG/BMP) decode for real — see "
-        "functions/audio.py and functions/images.py."
+        f"{kind} frame decoding for COMPRESSED codecs (H.264/VP9/AV1) "
+        "requires codec libraries not present in this environment; use "
+        "functions.video.video_frames for UNCOMPRESSED (BI_RGB DIB) AVI "
+        "pixel decode, functions.video.video_metadata for container "
+        "metadata, or extract_features(fake=True). Audio (WAV) and "
+        "images (PNG/BMP) decode for real — see functions/audio.py and "
+        "functions/images.py."
     )
 
 

@@ -118,6 +118,122 @@ def _video_codec():
         body = b"AVI " + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl + movi
         return b"RIFF" + struct.pack("<I", len(body)) + body
 
+    def encode_avi_dib(width: int, height: int, frames,
+                       usec_per_frame: int = 40_000) -> bytes:
+        """Full REAL AVI with UNCOMPRESSED video: LIST('hdrl' avih +
+        LIST('strl' strh('vids', fourcc 'DIB ') + strf(BITMAPINFOHEADER
+        biCompression=BI_RGB))) + LIST('movi' '00db' DIB frames).
+        ``frames`` = iterable of row-major uint8 gray arrays (h, w);
+        each frame is stored as the canonical bottom-up, 4-byte-padded
+        24-bit BGR DIB — the same pixel layout the BMP path uses
+        (functions/images.py), because a DIB frame IS a headerless BMP."""
+        import struct
+
+        import numpy as np
+
+        frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+        n_frames = len(frames)
+        row_bytes = (3 * width + 3) & ~3
+        pad = b"\x00" * (row_bytes - 3 * width)
+
+        def dib(px):
+            return b"".join(
+                np.repeat(px[r], 3).tobytes() + pad
+                for r in range(height - 1, -1, -1)
+            )
+
+        avih = struct.pack(
+            "<IIIIIIIIII",
+            usec_per_frame, 0, 0, 0x10,
+            n_frames, 0, 1, row_bytes * height,
+            width, height,
+        ) + b"\x00" * 16
+        strh = struct.pack(
+            "<4s4sIHHIIIIIIII",
+            b"vids", b"DIB ", 0, 0, 0,      # type, handler, flags, prio, lang
+            0, 1_000_000, usec_per_frame,   # initial, scale, rate (dwScale/dwRate
+                                            # as µs/frame over 1e6 keeps fps exact)
+            0, n_frames, row_bytes * height, 0xFFFFFFFF, 0,
+        ) + struct.pack("<4H", 0, 0, width, height)
+        strf = struct.pack(
+            "<IiiHHIIiiII",
+            40, width, height, 1, 24,       # BITMAPINFOHEADER, biBitCount=24
+            0,                              # biCompression = BI_RGB (uncompressed)
+            row_bytes * height, 0, 0, 0, 0,
+        )
+
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            return tag + struct.pack("<I", len(body)) + body + (
+                b"\x00" if len(body) & 1 else b"")
+
+        def lst(kind: bytes, body: bytes) -> bytes:
+            return b"LIST" + struct.pack("<I", 4 + len(body)) + kind + body
+
+        hdrl = lst(b"hdrl", chunk(b"avih", avih)
+                   + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+        movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def decode_avi_frames(payload: bytes):
+        """AVI bytes -> (width, height, [frame gray arrays]) for
+        UNCOMPRESSED (BI_RGB DIB) video only — '00dc' compressed chunks
+        raise NotImplementedError (H.264/VP9/AV1 need codec libraries;
+        the one documented multimodal boundary). Gray = blue channel,
+        matching the BMP decoder's convention for our gray=BGR frames."""
+        import struct
+
+        import numpy as np
+
+        b = bytes(payload)
+        if not (b[:4] == b"RIFF" and b[8:12] == b"AVI "):
+            raise ValueError("not an AVI container")
+        width = height = None
+        compression = None
+        frames = []
+
+        def walk(lo: int, hi: int):
+            nonlocal width, height, compression
+            pos = lo
+            while pos + 8 <= hi:
+                tag = b[pos : pos + 4]
+                (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+                if tag == b"LIST":
+                    walk(pos + 12, pos + 8 + size)
+                elif tag == b"strf" and size >= 40:
+                    _, bw, bh, _, _, comp = struct.unpack(
+                        "<IiiHHI", b[pos + 8 : pos + 28])
+                    width, height, compression = bw, abs(bh), comp
+                elif tag[2:4] == b"db":
+                    frames.append((pos + 8, size))
+                elif tag[2:4] == b"dc":
+                    raise NotImplementedError(
+                        "compressed AVI frames ('00dc') need codec "
+                        "libraries — only uncompressed DIB ('00db') "
+                        "decodes here"
+                    )
+                pos += 8 + size + (size & 1)
+
+        walk(12, len(b))
+        if width is None:
+            raise ValueError("AVI without strf (no stream format)")
+        if compression != 0:
+            raise NotImplementedError(
+                f"AVI biCompression={compression}: only BI_RGB (0) decodes"
+            )
+        row_bytes = (3 * width + 3) & ~3
+        out = []
+        for off, size in frames:
+            rows = [
+                np.frombuffer(
+                    b[off + r * row_bytes : off + r * row_bytes + 3 * width],
+                    dtype=np.uint8,
+                )[::3]  # blue channel of bottom-up BGR rows
+                for r in range(height - 1, -1, -1)
+            ]
+            out.append(np.stack(rows))
+        return width, height, out
+
     def parse(payload: bytes):
         """Container bytes -> (format, width, height, n_frames,
         duration_ms, timescale). REAL box/chunk walkers — works on any
@@ -189,10 +305,16 @@ def _video_codec():
             raise ValueError("AVI without avih header")
         raise ValueError("unknown video container (not MP4/AVI)")
 
-    return encode_mp4, encode_avi_header, parse
+    return encode_mp4, encode_avi_header, encode_avi_dib, decode_avi_frames, parse
 
 
-encode_mp4, encode_avi_header, parse_video = _video_codec()
+(
+    encode_mp4,
+    encode_avi_header,
+    encode_avi_dib,
+    decode_avi_frames,
+    parse_video,
+) = _video_codec()
 
 
 def synthetic_video_media(spark, ids=None, n: int = 64) -> DataFrame:
@@ -280,3 +402,83 @@ def video_metadata(media: DataFrame) -> DataFrame:
     return media.select(
         "media_id", F.substring("payload", 1, HEADER_PREFIX_BYTES).alias("_hdr")
     ).mapInPandas(kernel, schema=VIDEO_METADATA_SCHEMA)
+
+
+FRAME_FEATURES_SCHEMA = (
+    "media_id long, frame_ix long, width int, height int, "
+    "mean_gray double, min_gray long, max_gray long"
+)
+
+
+def synthetic_dib_video(spark, n: int = 16) -> DataFrame:
+    """(media_id, payload) — REAL uncompressed-DIB AVI files whose pixel
+    values are a closed-form function of (media_id, frame, y, x):
+    gray = (media_id*7 + frame*31 + y*5 + x) % 256, with
+    width = media_id % 13 + 4, height = (media_id*3) % 11 + 4,
+    n_frames = media_id % 5 + 1 — so tests recompute per-frame means
+    exactly (the image_features oracle discipline applied to frames)."""
+    enc = encode_avi_dib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for b in batches:
+            payloads = []
+            for mid in b["media_id"]:
+                mid = int(mid)
+                w = mid % 13 + 4
+                h = (mid * 3) % 11 + 4
+                nf = mid % 5 + 1
+                frames = [
+                    (
+                        mid * 7
+                        + f * 31
+                        + np.arange(h)[:, None] * 5
+                        + np.arange(w)[None, :]
+                    )
+                    % 256
+                    for f in range(nf)
+                ]
+                payloads.append(enc(w, h, frames))
+            yield pd.DataFrame({"media_id": b["media_id"], "payload": payloads})
+
+    ids = spark.range(n).select(F.col("id").alias("media_id"))
+    return ids.mapInPandas(gen, schema="media_id long, payload binary")
+
+
+def video_frames(media: DataFrame) -> DataFrame:
+    """One row per decoded frame: (media_id, frame_ix, width, height,
+    mean_gray, min_gray, max_gray) — REAL pixel decode for uncompressed
+    (BI_RGB DIB '00db') AVI video via the Arrow-batched kernel; MP4 and
+    compressed-codec AVI ('00dc') raise NotImplementedError, the one
+    remaining multimodal boundary (codec libraries absent here).
+
+    Unlike :func:`video_metadata`, the FULL payload crosses the Arrow
+    boundary — intrinsic to pixel decode (the frames ARE the bytes).
+    Partition-count invariant and deterministic: per-row decode, no
+    cross-row state. Scale shape: rows stay independent, so AQE splits
+    skewed partitions; downstream per-frame features are one row each,
+    orders of magnitude smaller than payloads."""
+    dec = decode_avi_frames
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                w, h, frames = dec(bytes(payload))
+                for ix, px in enumerate(frames):
+                    rows.append((
+                        int(mid), ix, w, h,
+                        float(px.mean()), int(px.min()), int(px.max()),
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_ix", "width", "height",
+                    "mean_gray", "min_gray", "max_gray",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=FRAME_FEATURES_SCHEMA
+    )
