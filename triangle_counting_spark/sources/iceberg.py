@@ -7,13 +7,19 @@ BASELINE.json's input hint is an Iceberg table of source files
 as read options — all standard public Iceberg-Spark API.
 
 The sandbox has no iceberg-spark-runtime jar, so :func:`read_iceberg_table`
-degrades with a clear error naming the missing piece; the parquet fixtures
-stand in for the table in tests/benches (TESTDATA.md). The derivation
-downstream (``file_vertices`` → ``file_cooccurrence_edges``) is identical
-either way — the source is an implementation detail behind a DataFrame.
+degrades in two steps: if ``table`` is a filesystem path holding a
+hadoop-catalog Iceberg table, the pure-Python format layer
+(``iceberg_format.py`` — metadata JSON → manifest-list Avro → manifest
+Avro → parquet, implemented from the public Iceberg v2 spec) serves the
+read, including snapshot time travel; otherwise a clear error names the
+missing runtime. The derivation downstream (``file_vertices`` →
+``file_cooccurrence_edges``) is identical either way — the source is an
+implementation detail behind a DataFrame.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -30,6 +36,12 @@ def read_iceberg_table(
     the Iceberg source automatically — downstream callers filter on
     (repo, lang, ...) and never read ``content`` unless asked.
     """
+    if os.path.isdir(os.path.join(table, "metadata")):
+        from .iceberg_format import read_table
+
+        return read_table(
+            spark, table, snapshot_id=snapshot_id, as_of_timestamp_ms=as_of_timestamp
+        )
     reader = spark.read
     if snapshot_id is not None:
         reader = reader.option("snapshot-id", str(snapshot_id))
