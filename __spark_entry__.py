@@ -1124,9 +1124,16 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # method="grid" is the beyond-driver-memory tier (r5): no collect, a
+    # hash-block grid of cogrouped Arrow cells. Bit-identical to the
+    # broadcast "blocked" kernel (pinned in tests/test_round5_operators.py),
+    # so the same DuckDB oracle verifies the SCALE path, not just the
+    # small-side one. n_blocks=4 forces multi-cell execution at sf0.01.
     from triangle_counting_spark.functions.similarity import embedding_neardup_pairs
 
-    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, method="grid", n_blocks=4
+    )
 
 
 # ---- r4 merged gates: the driver verifies at most 50 queries per round, so

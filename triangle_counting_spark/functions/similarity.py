@@ -79,6 +79,8 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "blocked",
+    block_rows: int = 65536,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos_sim) — EXACT embedding-cosine near-duplicate pairs,
     id_a < id_b.
@@ -93,12 +95,27 @@ def embedding_neardup_pairs(
     stays ~256 MB per task regardless of n. The ceiling is thus the
     broadcast MATRIX itself (n·dim·8 B ≤ executor memory — ~10^7 vectors
     at dim 128 is ~10 GB, the practical page-cache limit) plus O(n²)
-    total FLOPs; beyond that, use LSH bucketing (:func:`lsh_topk`) with a
-    high threshold — exact sub-0.5-threshold all-pairs at 10^9 vectors is
-    not a real query.
+    total FLOPs.
+
+    method="grid": the beyond-driver tier — NOTHING is ever collected.
+    Vectors hash-partition into B = ceil(n / block_rows) blocks
+    (``pmod(xxhash64(id), B)``); every unordered block pair (i ≤ j) is a
+    grid cell; each side replicates into its row/column of the grid
+    (shuffle = n·(B+1) rows) and a cogrouped Arrow kernel runs the same
+    chunked BLAS matmul per cell. Per-task memory is two blocks plus a
+    ≤256 MB score chunk — independent of n — so the ceiling is gone; the
+    trade is the n·(B+1) shuffle, which is why ``blocked`` stays the
+    default below the broadcast limit. Exact all-pairs is still O(n²)
+    FLOPs no matter the plan; beyond ~10^8 vectors use LSH bucketing
+    (:func:`lsh_topk`) with a high threshold — exact sub-0.5-threshold
+    all-pairs at 10^9 vectors is not a real query.
 
     method="allpairs": the r1 theta-join formulation, kept as the
     small-scale cross-check oracle.
+
+    All three methods produce bit-identical output: the same
+    left-to-right fold over the dimension axis, round-9 before the
+    threshold, round-6 JVM-side after (see the kernel comments).
     """
     if method == "allpairs":
         e = with_norm(df, vec_col).select(
@@ -112,6 +129,10 @@ def embedding_neardup_pairs(
             pairs.select("id_a", "id_b", cs.alias("cs"))
             .where(F.col("cs") >= threshold)
             .select("id_a", "id_b", F.round("cs", 6).alias("cos_sim"))
+        )
+    if method == "grid":
+        return _embedding_neardup_grid(
+            df, threshold, id_col, vec_col, block_rows=block_rows, n_blocks=n_blocks
         )
     if method != "blocked":
         raise ValueError(f"unknown method {method!r}")
@@ -184,6 +205,122 @@ def embedding_neardup_pairs(
     # final 6-dp rounding JVM-side: np.round is round-half-EVEN while
     # Spark/DuckDB ROUND are half-up — a round-9 value landing exactly on a
     # 6-dp half boundary (0.3526985 happened in real data) flips otherwise
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def _embedding_neardup_grid(
+    df: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    block_rows: int = 65536,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Distributed block-grid exact all-pairs cosine — no driver collect.
+
+    Plan: one count() to size B (skipped when ``n_blocks`` is given), one
+    shuffle replicating each vector into its grid row and column
+    (n·(B+1) rows), then a cogrouped Arrow kernel per cell (i ≤ j). Ids
+    hash into exactly one block, so every unordered vector pair lands in
+    exactly one cell — no dedup pass needed. Skew-proof by construction:
+    blocks are xxhash64-uniform regardless of id distribution.
+
+    Numerics mirror the broadcast kernel exactly (left-to-right fold over
+    the dimension axis for both norms and dots, np.round to 9 before the
+    threshold, JVM round to 6 after), so grid == blocked == allpairs
+    bit-for-bit and the same DuckDB oracle replays it.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    e = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "_emb")
+    if n_blocks is None:
+        n = e.count()
+        if n == 0:
+            return spark.createDataFrame([], "id_a long, id_b long, cos_sim double")
+        n_blocks = max(1, -(-n // max(block_rows, 1)))
+    B = int(n_blocks)
+    thr = float(threshold)
+    e = e.withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int"))
+
+    # B*B is small (B ~ n/block_rows); enumerate cells with range
+    # arithmetic rather than a Range-x-Range theta join so the whole plan
+    # stays nested-loop-free.
+    grid = (
+        spark.range(B * B)
+        .select(
+            (F.col("id") / B).cast("int").alias("gi"),
+            F.pmod(F.col("id"), F.lit(B)).cast("int").alias("gj"),
+        )
+        .where(F.col("gi") <= F.col("gj"))
+    )
+    # row side of each cell: block i; column side: block j. Each vector
+    # replicates (B - blk) + (blk + 1) = B + 1 times in total. Aliases
+    # keep the two uses of e/grid from tripping the self-join checker.
+    a_exp = (
+        e.alias("ea")
+        .join(F.broadcast(grid.alias("ga")), F.col("ea.blk") == F.col("ga.gi"))
+        .select(F.col("ga.gi").alias("gi"), F.col("ga.gj").alias("gj"),
+                F.col("ea.id").alias("id"), F.col("ea._emb").alias("_emb"))
+    )
+    b_exp = (
+        e.alias("eb")
+        .join(F.broadcast(grid.alias("gb")), F.col("eb.blk") == F.col("gb.gj"))
+        .select(F.col("gb.gi").alias("gi"), F.col("gb.gj").alias("gj"),
+                F.col("eb.id").alias("id"), F.col("eb._emb").alias("_emb"))
+    )
+
+    def cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "cos_sim": pd.Series(dtype="float64")})
+        if not len(left) or not len(right):
+            return empty
+        diag = int(left["gi"].iloc[0]) == int(left["gj"].iloc[0])
+        ida = left["id"].to_numpy(dtype=np.int64)
+        idb = right["id"].to_numpy(dtype=np.int64)
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in left["_emb"]])
+        Bm = np.stack([np.asarray(x, dtype=np.float64) for x in right["_emb"]])
+        dim = A.shape[1]
+        # norms and dots accumulate LEFT-TO-RIGHT over the dimension axis
+        # (not np.linalg.norm / BLAS pairwise summation) so every value
+        # reproduces the sequential fold of the SQL oracle and of the
+        # zip_with/aggregate JVM expression — last-ulp drift flips
+        # round-to-9 at boundary values (seen in real sf0.01 data)
+        na_sq = np.zeros(len(ida))
+        nb_sq = np.zeros(len(idb))
+        for kk in range(dim):
+            na_sq += A[:, kk] * A[:, kk]
+            nb_sq += Bm[:, kk] * Bm[:, kk]
+        na, nb = np.sqrt(na_sq), np.sqrt(nb_sq)
+        chunk = max(1, (256 << 20) // (8 * len(idb)))
+        frames = []
+        for c0 in range(0, len(ida), chunk):
+            rows = slice(c0, c0 + chunk)
+            C = np.zeros((len(ida[rows]), len(idb)))
+            for kk in range(dim):
+                C += np.multiply.outer(A[rows, kk], Bm[:, kk])
+            C = np.round(C / np.multiply.outer(na[rows], nb), 9)
+            mask = C >= thr
+            if diag:
+                mask &= ida[rows][:, None] < idb[None, :]
+            ii, jj = np.nonzero(mask)
+            if not len(ii):
+                continue
+            xa, xb = ida[rows][ii], idb[jj]
+            frames.append(pd.DataFrame({
+                "id_a": np.minimum(xa, xb),
+                "id_b": np.maximum(xa, xb),
+                "cos_sim": C[ii, jj],
+            }))
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    out = (
+        a_exp.groupBy("gi", "gj")
+        .cogroup(b_exp.groupBy("gi", "gj"))
+        .applyInPandas(cell, schema="id_a long, id_b long, cos_sim double")
+    )
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
