@@ -66,3 +66,27 @@ def test_grid_no_cartesian_no_driver_collect(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     # the grid join on block ids must be broadcast (tiny B x B side)
     assert "BroadcastHashJoin" in plan
+
+
+def test_auto_dispatch_picks_blocked_small_and_grid_beyond_budget(spark):
+    emb = _fixture(spark, n=20, seed=9)
+    a = _pairs(embedding_neardup_pairs(emb, 0.8, method="auto"))
+    b = _pairs(embedding_neardup_pairs(emb, 0.8, method="blocked"))
+    assert a == b
+    # force the grid tier by shrinking the budget below the tiny footprint
+    spark.conf.set("spark.tcs.neardupBroadcastBytes", "64")
+    try:
+        g = _pairs(embedding_neardup_pairs(emb, 0.8, method="auto"))
+    finally:
+        spark.conf.unset("spark.tcs.neardupBroadcastBytes")
+    assert g == b
+
+
+def test_auto_dispatch_budget_override_is_loud_on_garbage(spark):
+    emb = _fixture(spark, n=8, seed=2)
+    spark.conf.set("spark.tcs.neardupBroadcastBytes", "not-a-number")
+    try:
+        with pytest.raises(ValueError):
+            embedding_neardup_pairs(emb, 0.8, method="auto")
+    finally:
+        spark.conf.unset("spark.tcs.neardupBroadcastBytes")

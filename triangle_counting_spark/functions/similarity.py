@@ -113,10 +113,46 @@ def embedding_neardup_pairs(
     method="allpairs": the r1 theta-join formulation, kept as the
     small-scale cross-check oracle.
 
-    All three methods produce bit-identical output: the same
-    left-to-right fold over the dimension axis, round-9 before the
-    threshold, round-6 JVM-side after (see the kernel comments).
+    method="auto": memory-derived dispatch, same discipline as the graph
+    operators' ``choose_iterative_tier`` (plans/planner.py) — one
+    count+max(dim) aggregate estimates the broadcast matrix footprint
+    (n·dim·8 B ×3 for the driver-side pandas/numpy staging copies);
+    "blocked" while that fits 10% of the JVM heap (conf override
+    ``spark.tcs.neardupBroadcastBytes``), else "grid". Never a magic row
+    count: a 10^6×1024-dim corpus and a 10^7×64-dim corpus have the same
+    footprint and get the same answer.
+
+    All methods produce bit-identical output: the same left-to-right fold
+    over the dimension axis, round-9 before the threshold, round-6
+    JVM-side after (see the kernel comments).
     """
+    if method == "auto":
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.size(F.col(vec_col))).alias("dim"),
+        ).collect()[0]
+        n_vecs, dim = int(stats["n"] or 0), int(stats["dim"] or 0)
+        spark = df.sparkSession
+        try:
+            budget = spark.conf.get("spark.tcs.neardupBroadcastBytes", None)
+        except Exception:  # noqa: BLE001 — connect mode without conf access
+            budget = None
+        if budget is not None:
+            budget = int(budget)  # loud on garbage, like bcast_max_edges
+        else:
+            try:
+                budget = (
+                    int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory()) // 10
+                )
+            except Exception:  # noqa: BLE001 — no JVM handle
+                budget = 1 << 30
+        footprint = n_vecs * dim * 8 * 3
+        if footprint <= budget:
+            method = "blocked"
+        else:
+            method = "grid"
+            if n_blocks is None:
+                n_blocks = max(1, -(-n_vecs // max(block_rows, 1)))
     if method == "allpairs":
         e = with_norm(df, vec_col).select(
             F.col(id_col).alias("id"), F.col("_emb"), F.col("_norm")
