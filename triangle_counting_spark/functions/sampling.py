@@ -75,3 +75,132 @@ def stratified_sample(
     default = F.lit(int(round(default_fraction * _BUCKETS)))
     thresh = default if thresh is None else thresh.otherwise(default)
     return df.where(b < thresh)
+
+
+# --------------------------------------------------------------- shards
+#
+# The WRITE side of a training pipeline: a global deterministic sample
+# shuffle into fixed shards, an auditable per-shard manifest, and a
+# read-back verifier. Same discipline as hash_split: every assignment is
+# a pure function of (row key, seed), so shard membership and intra-shard
+# order survive re-runs, repartitioning, and cluster-size changes — and
+# the manifest digest is a COMMUTATIVE fold (bit_xor of a per-row md5
+# prefix), so it aggregates map-side in bounded memory at any scale and
+# replays in ANSI SQL: bit_xor(('0x' || substr(md5(k), 1, 15))::BIGINT).
+
+
+def _row_digest(key: Column) -> Column:
+    """60-bit per-row digest from the md5 prefix — shared by the Spark
+    manifest and the DuckDB replay (15 hex chars keep the BIGINT cast
+    overflow-free on both engines)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Add ``shard`` (long in [0, n_shards)) and ``sort_key`` (md5 hex)
+    columns — the global training shuffle. Zero shuffles: both are pure
+    JVM expressions over the scan; the actual data movement happens once,
+    inside :func:`write_training_shards`. Shard balance is md5-uniform
+    regardless of id distribution (the skew-proofing the dedup family
+    gets from xxhash64 bucketing)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#" + seed)))
+    return df.withColumn(
+        "shard", F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
+    ).withColumn("sort_key", key)
+
+
+def shard_manifest(
+    sharded: DataFrame, id_col: str = "doc_id", content_col: str | None = None
+) -> DataFrame:
+    """(shard, rows, digest[, content_bytes]) — one row per shard. The
+    digest xor-folds each row's md5-prefix (id when ``content_col`` is
+    None, else id:content — the per-row content audit the north rule's
+    sha256 invariant asks for, in aggregate form). One shuffle, partial
+    aggregation map-side; memory per task is O(1) per shard."""
+    key = (
+        F.col(id_col).cast("string")
+        if content_col is None
+        else F.concat_ws(":", F.col(id_col).cast("string"), F.col(content_col))
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("rows"),
+        F.bit_xor(_row_digest(key)).alias("digest"),
+    ]
+    if content_col is not None:
+        aggs.append(
+            F.sum(F.length(F.col(content_col))).cast("long").alias("content_bytes")
+        )
+    return sharded.groupBy("shard").agg(*aggs)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    content_col: str | None = None,
+    seed: str = "",
+) -> DataFrame:
+    """Shuffle ``df`` into ``n_shards`` deterministic shards under
+    ``path`` (one directory per shard via ``partitionBy``) and return the
+    manifest, also persisted at ``path + "/_manifest"``.
+
+    Layout choices, 100 TB honest: ``repartition(n_shards, shard)`` gives
+    one task per shard-hash bucket (AQE may coalesce empties);
+    ``sortWithinPartitions(sort_key, id)`` fixes intra-file row order
+    without a global rank (no window, no skew pivot), so two runs of the
+    same input produce byte-stable row sequences per shard. The manifest
+    is computed from the INPUT expressions, and :func:`verify_shards`
+    recomputes it from the files on disk — write-path corruption surfaces
+    as a digest mismatch, the checkpoint-audit discipline of the
+    iterative operators applied to the sink."""
+    sharded = shuffle_shards(df, n_shards, id_col=id_col, seed=seed)
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("sort_key", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    manifest = shard_manifest(sharded, id_col=id_col, content_col=content_col)
+    manifest.coalesce(1).write.mode("overwrite").parquet(path + "/_manifest")
+    return manifest
+
+
+def verify_shards(
+    spark,
+    path: str,
+    id_col: str = "doc_id",
+    content_col: str | None = None,
+) -> DataFrame:
+    """(shard, rows_match, digest_match[, bytes_match]) — recompute the
+    manifest from the written files and compare to the persisted one.
+    FULL OUTER join so a shard missing on either side shows up as a
+    mismatch row instead of vanishing."""
+    written = spark.read.parquet(path)
+    actual = shard_manifest(written, id_col=id_col, content_col=content_col)
+    expected = spark.read.parquet(path + "/_manifest")
+    a, e = actual.alias("a"), expected.alias("e")
+    cols = [
+        F.coalesce(F.col("a.shard"), F.col("e.shard")).alias("shard"),
+        (F.col("a.rows") == F.col("e.rows")).alias("rows_match"),
+        (F.col("a.digest") == F.col("e.digest")).alias("digest_match"),
+    ]
+    if content_col is not None:
+        cols.append(
+            (F.col("a.content_bytes") == F.col("e.content_bytes")).alias(
+                "bytes_match"
+            )
+        )
+    return a.join(e, F.col("a.shard") == F.col("e.shard"), "full_outer").select(
+        *cols
+    )
