@@ -42,7 +42,7 @@ def _wav_codec():
     """Build (encode, decode) as NESTED functions: their ``<locals>``
     qualnames force cloudpickle to ship them BY VALUE into mapInPandas
     closures — a worker without this package on PYTHONPATH can still run
-    the kernels (the repo-wide closure rule; see .claude verify notes)."""
+    the kernels (the repo-wide closure rule for Arrow-UDF helpers)."""
 
     def encode(samples, sample_rate: int) -> bytes:
         """Mono float[-1,1] -> 16-bit PCM WAV bytes (stdlib only)."""
