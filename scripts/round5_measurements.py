@@ -32,10 +32,13 @@ spark.sparkContext.setLogLevel("ERROR")
 edges = rmat_edges(spark, scale=16, num_partitions=32).persist()
 m = edges.count()
 out = {"m": m}
-for tier in ("blocked", "shuffle"):
-    t0 = time.time()
-    n_comm = louvain(edges, tier=tier).select("community").distinct().count()
-    out[tier] = {"sec": round(time.time() - t0, 2), "communities": n_comm}
+# blocked tier only: the shuffle tier on a community-less RMAT graph
+# grinds its full 10-level x 8-round budget (~25 min of round latency at
+# this size — see BASELINE.md round 5) and auto would never route an
+# in-memory graph there; this leg records the number the dispatcher uses.
+t0 = time.time()
+n_comm = louvain(edges, tier="blocked").select("community").distinct().count()
+out["blocked"] = {"sec": round(time.time() - t0, 2), "communities": n_comm}
 print(json.dumps(out))
 spark.stop()
 """
