@@ -1073,6 +1073,123 @@ def _drop_hubs(ce: DataFrame, max_hub_degree: int):
     return kept, capped
 
 
+def _four_cycle_bcast(ce: DataFrame) -> int:
+    """Broadcast-CSR 4-cycle counter — the zero-shuffle tier.
+
+    Σ_{u<w} c_uw·(c_uw−1) is computed WITHOUT a global per-pair table:
+    for each endpoint u, gather the multiset {w ∈ N(v) : v ∈ N(u), w > u};
+    the multiplicity of w is exactly c_uw = |N(u) ∩ N(w)|, so one sort +
+    run-length pass per bounded center chunk yields Σ c·(c−1) locally and
+    only int64 partials cross task boundaries. This is the classic
+    per-vertex butterfly/4-cycle aggregation (Chiba–Nishizeki style) laid
+    over the engine's broadcast-CSR pattern (BroadcastCSRTriangles):
+    symmetric CSR built once in numpy, shipped as mmap'd .npy files,
+    strided center slices via spark.range. The r5 plan shuffled the whole
+    Σ C(d,2) wedge space (147.8M rows at sf0.1) into a JVM hash
+    aggregate; here the wedge space never leaves the numpy kernel.
+
+    Work is the same Σ_v d_v² gather space (intrinsic); per-task pair
+    materialization is bounded by center-chunking at ~2^24 gathered
+    elements (a single center whose two-hop volume exceeds the chunk gets
+    its own oversized group — bounded by max_u Σ_{v∈N(u)} d_v, the same
+    two-hub product the ``max_hub_degree`` cap exists to control).
+    """
+    import numpy as np
+
+    spark = ce.sparkSession
+    pdf = ce.toPandas()
+    s_raw = pdf[SRC].to_numpy(dtype=np.int64)
+    d_raw = pdf[DST].to_numpy(dtype=np.int64)
+    m_in = len(s_raw)
+    if m_in == 0:
+        return 0
+    s, d, verts = _compact_ids(np, s_raw, d_raw, m_in)
+    n = len(verts)
+    es = np.concatenate([s, d])
+    ed = np.concatenate([d, s])
+    order = np.argsort(es, kind="stable")
+    colind = ed[order]
+    deg = np.bincount(es, minlength=n).astype(np.int64)
+    rowptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg, out=rowptr[1:])
+
+    from ..plans.blocked import _ship_arrays
+
+    files = _ship_arrays(spark, {"rowptr": rowptr, "colind": colind})
+    _k = max(spark.sparkContext.defaultParallelism * 4, 1)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415
+        from pyspark import SparkFiles  # noqa: PLC0415
+
+        rp = np.asarray(np.load(SparkFiles.get(files["rowptr"]), mmap_mode="r"))
+        ci = np.asarray(np.load(SparkFiles.get(files["colind"]), mmap_mode="r"))
+        nn = len(rp) - 1
+        dg = rp[1:] - rp[:-1]
+        # two-hop gather volume per center, one reduceat over the flat
+        # adjacency — drives the vectorized chunk grouping below
+        w2 = np.zeros(nn, dtype=np.int64)
+        nz = dg > 0
+        if nz.any():
+            w2[nz] = np.add.reduceat(dg[ci], rp[:-1][nz])
+        CHUNK = 1 << 24
+        total = 0
+        for b in batches:
+            for sl in b["id"].to_numpy():
+                centers = np.arange(int(sl), nn, _k, dtype=np.int64)
+                if len(centers) == 0:
+                    continue
+                gv = w2[centers]
+                cum = np.cumsum(gv)
+                g0 = 0
+                while g0 < len(centers):
+                    base = cum[g0 - 1] if g0 else 0
+                    g1 = min(
+                        max(int(np.searchsorted(cum, base + CHUNK)) + 1, g0 + 1),
+                        len(centers),
+                    )
+                    cs = centers[g0:g1]
+                    g0 = g1
+                    n1 = dg[cs]
+                    t1 = int(n1.sum())
+                    if t1 == 0:
+                        continue
+                    offs1 = (
+                        np.arange(t1, dtype=np.int64)
+                        - np.repeat(np.cumsum(n1) - n1, n1)
+                        + np.repeat(rp[cs], n1)
+                    )
+                    nbrs = ci[offs1]
+                    n2 = dg[nbrs]
+                    t2 = int(n2.sum())
+                    if t2 == 0:
+                        continue
+                    offs2 = (
+                        np.arange(t2, dtype=np.int64)
+                        - np.repeat(np.cumsum(n2) - n2, n2)
+                        + np.repeat(rp[nbrs], n2)
+                    )
+                    w = ci[offs2].astype(np.int64, copy=False)
+                    pc = w2[cs]  # per-center two-hop count = Σ n2 by center
+                    u_local = np.repeat(
+                        np.arange(len(cs), dtype=np.int64), pc
+                    )
+                    keep = w > np.repeat(cs, pc)
+                    key = ((u_local << 31) | w)[keep]
+                    key.sort()
+                    seg = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+                    runs = np.diff(np.r_[seg, len(key)])
+                    total += int((runs * (runs - 1)).sum())
+        yield pd.DataFrame({"partial": [total]})
+
+    slices = spark.range(0, _k, 1, numPartitions=_k)
+    partials = slices.mapInPandas(kernel, schema=_KERNEL_SCHEMA)
+    row = partials.agg(
+        F.coalesce(F.sum("partial"), F.lit(0)).cast("long").alias("p")
+    ).collect()[0]
+    return int(row["p"]) // 4
+
+
 def four_cycle_count(
     edges: DataFrame, max_hub_degree: int | None = None
 ) -> DataFrame:
@@ -1084,17 +1201,20 @@ def four_cycle_count(
     ({a,c} and {b,d}), and a pair (u,w) with ``c`` common neighbors closes
     C(c,2) squares through each choice of two centers — so
     Σ_{u<w} c·(c−1) counts every square exactly 4× (2 diagonals × the 2
-    from c·(c−1) = 2·C(c,2)). One wedge enumeration (the tc_wedge search
-    space, tc.c:52-86) + one hash aggregate; integer arithmetic end to end
-    (``div 4``, never float — exact beyond 2^53 where a double division
-    would silently round).
+    from c·(c−1) = 2·C(c,2)). Integer arithmetic end to end (``div 4``,
+    never float — exact beyond 2^53 where a double division would
+    silently round).
 
-    Scale note: the work is intrinsically Σ_v C(d_v, 2) (the wedge
-    space) — here materialized by a streaming, spill-safe equi-join with
-    map-side partial aggregation. The tempting alternative (explode
-    per-row neighbor-pair arrays off the adjacency table) halves the
-    generated rows but holds C(d, 2) structs in executor memory PER HUB
-    ROW — quadratic on a 10⁶-degree hub where the join merely streams.
+    Two tiers (round 6, mirroring triangle_count's bcast/part split):
+    while the canonical edge list fits the memory-derived cutoff
+    (:func:`~triangle_counting_spark.plans.planner.bcast_max_edges`), the
+    count runs on the zero-shuffle broadcast-CSR kernel
+    (:func:`_four_cycle_bcast` — measured 32.8 s → ~4 s at sf0.1: the
+    147.8M-row wedge shuffle + JVM hash aggregate is replaced by
+    task-local numpy sort/run-length, only int64 partials move). Beyond
+    the cutoff, the row-based wedge join + hash aggregate below — it
+    streams and spills safely at any scale and AQE splits skewed wedge
+    partitions.
 
     ``max_hub_degree``: exact global C4 at 100 TB is quadratic in the
     largest hub degree (one 10⁶-degree vertex alone yields ~5·10¹¹ wedge
@@ -1104,25 +1224,44 @@ def four_cycle_count(
     is then a documented lower bound (C4s avoiding all hubs), never a
     silent truncation. ``None`` (default) = exact, schema unchanged.
     """
+    from ..plans.planner import bcast_max_edges
+
     ce = canonical_edges(edges)
     capped = None
     if max_hub_degree is not None:
         ce, capped = _drop_hubs(ce, max_hub_degree)
-    sym = symmetrize(ce)
-    wedges = (
-        sym.select(F.col(SRC).alias("v"), F.col(DST).alias("u"))
-        .join(
-            sym.select(F.col(SRC).alias("v"), F.col(DST).alias("w")), "v"
-        )
-        .where(F.col("u") < F.col("w"))
-        .groupBy("u", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    out = wedges.agg(
-        F.coalesce(
-            F.expr("sum(c * (c - 1)) div 4"), F.lit(0).cast("long")
-        ).alias("four_cycles")
-    )
+    ce = ce.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        m = ce.count()
+        if m <= bcast_max_edges(ce.sparkSession):
+            total = _four_cycle_bcast(ce)
+            out = ce.sparkSession.createDataFrame(
+                [(total,)], "four_cycles long"
+            )
+        else:
+            sym = symmetrize(ce)
+            wedges = (
+                sym.select(F.col(SRC).alias("v"), F.col(DST).alias("u"))
+                .join(
+                    sym.select(F.col(SRC).alias("v"), F.col(DST).alias("w")),
+                    "v",
+                )
+                .where(F.col("u") < F.col("w"))
+                .groupBy("u", "w")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            # eager: the beyond-memory wedge aggregate must not outlive the
+            # persist scope of ce (both join sides read it)
+            row = wedges.agg(
+                F.coalesce(
+                    F.expr("sum(c * (c - 1)) div 4"), F.lit(0).cast("long")
+                ).alias("four_cycles")
+            ).collect()[0]
+            out = ce.sparkSession.createDataFrame(
+                [(int(row["four_cycles"]),)], "four_cycles long"
+            )
+    finally:
+        ce.unpersist()
     return out if capped is None else out.crossJoin(capped)
 
 
