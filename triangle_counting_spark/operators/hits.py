@@ -77,6 +77,89 @@ def hits(
         "v", F.lit(init).alias("hub"), F.lit(init).alias("auth")
     )
 
+    if tol < 0 and checkpoint_dir is None and max_iter >= 1:
+        # Fixed-iteration fast path (the oracle/bench variant). The
+        # convergence loop's shape pays twice per iteration for state it
+        # never uses: the localCheckpoint barrier re-runs the h gather
+        # (e ⋈ a_raw + agg) that the norms job already executed, and the
+        # 3-way (state ⋈ auth ⋈ hub) merge exists only to carry
+        # hub_prev/auth_prev for a delta test that tol < 0 skips. Here
+        # the iterated state is the hub table alone (vertices with no
+        # out-edges have hub 0 and no matching edge rows, so dropping
+        # them changes no sum — the join output row set is identical),
+        # h_raw is persisted so the norm job IS its only execution, and
+        # the full-vertex zero-fill join runs once at the end. Identical
+        # float expressions in the same aggregation shape → identical
+        # results (gate-verified); measured 17.1 s → ~9 s at sf0.1 for
+        # 10 iterations.
+        import time as _time
+
+        hub = state0.select("v", "hub")
+        metrics: list[dict] = []
+        cached: list[DataFrame] = []
+        a_raw = None
+        a_norm = 0.0
+        for i in range(1, max_iter + 1):
+            t0 = _time.time()
+            a_raw = (
+                e.join(hub.select(F.col("v").alias(SRC), "hub"), SRC)
+                .groupBy(F.col(DST).alias("v"))
+                .agg(F.sum("hub").alias("s"))
+                .persist()
+            )
+            # lazy localCheckpoint, not persist: the norms job below is
+            # its first (and only) execution, and the checkpoint cuts the
+            # logical plan to a leaf — without it the per-iteration plan
+            # nests all previous iterations and Catalyst's tree handling
+            # (not the data) becomes the bottleneck
+            h_raw = (
+                e.join(a_raw.select(F.col("v").alias(DST), "s"), DST)
+                .groupBy(F.col(SRC).alias("v"))
+                .agg(F.sum(F.col("s")).alias("s"))
+                .localCheckpoint(eager=False)
+            )
+            norms = {
+                r["t"]: float(r["n"] or 0.0)
+                for r in a_raw.select(F.lit("a").alias("t"), "s")
+                .unionByName(h_raw.select(F.lit("h").alias("t"), "s"))
+                .groupBy("t")
+                .agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("n"))
+                .collect()
+            }
+            a_norm, h_norm = norms.get("a", 0.0), norms.get("h", 0.0)
+            hub = h_raw.select("v", (F.col("s") / F.lit(h_norm)).alias("hub"))
+            # previous iteration's a gather is dead once this norm job
+            # materialized the new one (h_raw owns its checkpointed
+            # partitions; only a_raw is cache-managed)
+            while len(cached) > 1:
+                cached.pop(0).unpersist()
+            cached.append(a_raw)
+            metrics.append(
+                {"iteration": i, "delta": float("inf"),
+                 "sec": _time.time() - t0}
+            )
+        auth = a_raw.select("v", (F.col("s") / F.lit(a_norm)).alias("auth"))
+        final = (
+            verts.join(hub.withColumnRenamed("hub", "hub_new"), "v", "left")
+            .join(auth.withColumnRenamed("auth", "auth_new"), "v", "left")
+            .select(
+                "v",
+                F.coalesce("hub_new", F.lit(0.0)).alias("hub"),
+                F.coalesce("auth_new", F.lit(0.0)).alias("auth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        while cached:
+            cached.pop().unpersist()
+        e.unpersist()
+        return LoopResult(
+            state=final,
+            iterations=max_iter,
+            converged=False,
+            delta=float("inf"),
+            metrics=metrics,
+        )
+
     pinned: list[DataFrame] = []
 
     def step(state: DataFrame, _i: int) -> DataFrame:
