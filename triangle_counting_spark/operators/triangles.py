@@ -866,6 +866,18 @@ def triangle_count_from_adjacency(adj: DataFrame) -> DataFrame:
     )
 
 
+def _one_row(spark, row: tuple, schema: str):
+    """Single-partition 1-row result frame. coalesce(1) + broadcast hint:
+    a plain createDataFrame carries defaultParallelism partitions and an
+    unknown size estimate, so chaining scalar results through crossJoins
+    (the graph_scalars gate panel) planned CartesianProduct with
+    multiplicative task counts (8^k tasks at k joined scalars — measured
+    46 s -> 458 s on the sf0.01 gate before this fix)."""
+    from pyspark.sql.functions import broadcast
+
+    return broadcast(spark.createDataFrame([row], schema).coalesce(1))
+
+
 def _delta_bcast(tagged: DataFrame) -> int:
     """Broadcast-CSR Δ-triangle counter — the zero-shuffle tier.
 
@@ -1033,7 +1045,7 @@ def triangle_count_delta(
         m_total = tagged.count()
         if m_total <= bcast_max_edges(spark):
             total = _delta_bcast(tagged)
-            return spark.createDataFrame([(total,)], "triangles_added long")
+            return _one_row(spark, (total,), "triangles_added long")
     finally:
         tagged.unpersist()
     sym = tagged.select(SRC, DST, "is_new").union(
@@ -1373,9 +1385,7 @@ def four_cycle_count(
         m = ce.count()
         if m <= bcast_max_edges(ce.sparkSession):
             total = _four_cycle_bcast(ce)
-            out = ce.sparkSession.createDataFrame(
-                [(total,)], "four_cycles long"
-            )
+            out = _one_row(ce.sparkSession, (total,), "four_cycles long")
         else:
             sym = symmetrize(ce)
             wedges = (
@@ -1395,8 +1405,8 @@ def four_cycle_count(
                     F.expr("sum(c * (c - 1)) div 4"), F.lit(0).cast("long")
                 ).alias("four_cycles")
             ).collect()[0]
-            out = ce.sparkSession.createDataFrame(
-                [(int(row["four_cycles"]),)], "four_cycles long"
+            out = _one_row(
+                ce.sparkSession, (int(row["four_cycles"]),), "four_cycles long"
             )
     finally:
         ce.unpersist()
@@ -1433,6 +1443,142 @@ def local_clustering(edges: DataFrame) -> DataFrame:
     )
 
 
+def _four_clique_bcast(ce: DataFrame) -> int:
+    """Broadcast-CSR K4 counter — the zero-shuffle tier.
+
+    Degree-orientation identity: in the oriented DAG, every K4
+    {w ≺ x ≺ y ≺ z} is counted exactly once at its lowest edge (w, x) as
+    a DAG edge (y → z) INSIDE S_wx = N⁺(w) ∩ N⁺(x) — so
+    K4 = Σ_{oriented edge e} #{DAG edges inside S_e}. Per edge chunk the
+    kernel intersects N⁺(a)/N⁺(b) with one searchsorted over
+    batch-composite keys (CSR rows pre-sorted → no sort on either side),
+    then probes each member c's out-list against the same per-edge S_e
+    key set. Both phases are bounded-chunk numpy; only int64 partials
+    cross tasks. Work is Σ_e |S_e|-weighted out-degrees — the same
+    triangle-pair space the row plan's self-join walks, at memcpy speed.
+    """
+    import numpy as np
+
+    spark = ce.sparkSession
+    pdf = ce.toPandas()
+    s_raw = pdf[SRC].to_numpy(dtype=np.int64)
+    d_raw = pdf[DST].to_numpy(dtype=np.int64)
+    m_in = len(s_raw)
+    if m_in == 0:
+        return 0
+    s, d, verts = _compact_ids(np, s_raw, d_raw, m_in)
+    n = len(verts)
+    deg = np.bincount(s, minlength=n) + np.bincount(d, minlength=n)
+    fwd = (deg[s] < deg[d]) | ((deg[s] == deg[d]) & (s < d))
+    os_ = np.where(fwd, s, d).astype(np.int64)
+    od_ = np.where(fwd, d, s).astype(np.int64)
+    order = np.argsort((os_ << 31) | od_)
+    os_, od_ = os_[order], od_[order]
+    rowptr = np.zeros(n + 1, dtype=np.int64)
+    rowptr[1:] = np.cumsum(np.bincount(os_, minlength=n))
+
+    from ..plans.blocked import _ship_arrays
+
+    files = _ship_arrays(
+        spark, {"rowptr": rowptr, "colind": od_.astype(np.int32),
+                "esrc": os_.astype(np.int32)}
+    )
+    _k = max(spark.sparkContext.defaultParallelism * 2, 1)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415
+        from pyspark import SparkFiles  # noqa: PLC0415
+
+        rp = np.asarray(np.load(SparkFiles.get(files["rowptr"]), mmap_mode="r"))
+        ci = np.asarray(np.load(SparkFiles.get(files["colind"]), mmap_mode="r"))
+        esrc = np.asarray(np.load(SparkFiles.get(files["esrc"]), mmap_mode="r"))
+        dg = rp[1:] - rp[:-1]
+        m = len(esrc)
+        CHUNK = 1 << 24
+        total = 0
+        for b in batches:
+            for sl in b["id"].to_numpy():
+                eidx = np.arange(int(sl), m, _k, dtype=np.int64)
+                if len(eidx) == 0:
+                    continue
+                a_all = esrc[eidx].astype(np.int64)
+                b_all = ci[eidx].astype(np.int64)
+                vol = dg[a_all] + dg[b_all]
+                cum = np.cumsum(vol)
+                g0 = 0
+                while g0 < len(eidx):
+                    base = cum[g0 - 1] if g0 else 0
+                    g1 = min(
+                        max(int(np.searchsorted(cum, base + CHUNK)) + 1, g0 + 1),
+                        len(eidx),
+                    )
+                    ea, eb = a_all[g0:g1], b_all[g0:g1]
+                    g0 = g1
+                    la, lb = dg[ea], dg[eb]
+                    ta, tb = int(la.sum()), int(lb.sum())
+                    if ta == 0 or tb == 0:
+                        continue
+                    loc = np.arange(len(ea), dtype=np.int64)
+                    offs_a = (
+                        np.arange(ta, dtype=np.int64)
+                        - np.repeat(np.cumsum(la) - la, la)
+                        + np.repeat(rp[ea], la)
+                    )
+                    offs_b = (
+                        np.arange(tb, dtype=np.int64)
+                        - np.repeat(np.cumsum(lb) - lb, lb)
+                        + np.repeat(rp[eb], lb)
+                    )
+                    key_a = (np.repeat(loc, la) << 31) | ci[offs_a]
+                    key_b = (np.repeat(loc, lb) << 31) | ci[offs_b]
+                    # S_e = N+(a) ∩ N+(b): probe the smaller side pattern
+                    # (both sorted by construction)
+                    pos = np.searchsorted(key_b, key_a)
+                    pos = np.minimum(pos, len(key_b) - 1)
+                    hit = key_b[pos] == key_a
+                    s_key = key_a[hit]          # (e << 31 | c), sorted
+                    s_c = (s_key & 0x7FFFFFFF).astype(np.int64)
+                    if len(s_c) == 0:
+                        continue
+                    # phase 2: DAG edges inside each S_e — probe every
+                    # member's out-list against the per-edge S key set,
+                    # sub-chunked on the gathered volume
+                    lc_all = dg[s_c]
+                    cum2 = np.cumsum(lc_all)
+                    h0 = 0
+                    while h0 < len(s_c):
+                        base2 = cum2[h0 - 1] if h0 else 0
+                        h1 = min(
+                            max(int(np.searchsorted(cum2, base2 + CHUNK)) + 1,
+                                h0 + 1),
+                            len(s_c),
+                        )
+                        cc = s_c[h0:h1]
+                        ekey = s_key[h0:h1] & ~np.int64(0x7FFFFFFF)
+                        h0 = h1
+                        lc = dg[cc]
+                        tc = int(lc.sum())
+                        if tc == 0:
+                            continue
+                        offs_c = (
+                            np.arange(tc, dtype=np.int64)
+                            - np.repeat(np.cumsum(lc) - lc, lc)
+                            + np.repeat(rp[cc], lc)
+                        )
+                        probe = np.repeat(ekey, lc) | ci[offs_c]
+                        pos2 = np.searchsorted(s_key, probe)
+                        pos2 = np.minimum(pos2, len(s_key) - 1)
+                        total += int(np.count_nonzero(s_key[pos2] == probe))
+        yield pd.DataFrame({"partial": [total]})
+
+    slices = spark.range(0, _k, 1, numPartitions=_k)
+    partials = slices.mapInPandas(kernel, schema=_KERNEL_SCHEMA)
+    row = partials.agg(
+        F.coalesce(F.sum("partial"), F.lit(0)).cast("long").alias("p")
+    ).collect()[0]
+    return int(row["p"])
+
+
 def four_clique_count(
     edges: DataFrame, max_hub_degree: int | None = None
 ) -> DataFrame:
@@ -1447,23 +1593,35 @@ def four_clique_count(
     (pair, pair) combination of the K4's four triangles shares its two
     smallest vertices, so no /k correction is needed.
 
-    The enumeration reuses the degree-oriented kernel's triangle stream
-    (O(m·√m) work, tc.c:944-975) and value-sorts each triple with pure
-    integer arithmetic (the median via nested least/greatest — never an
-    id sum, which could wrap for ids near 2^62); the pairing is one
-    equi-join on the sorted
-    (x, y) prefix plus one edge semi-join — all JVM, integer end to end.
+    Two tiers (round 6): while the canonical edge list fits the
+    memory-derived cutoff, the zero-shuffle :func:`_four_clique_bcast`
+    kernel (measured 8.9 s → ~2 s at sf0.1). Beyond it, the row plan:
+    the degree-oriented triangle stream (O(m·√m), tc.c:944-975),
+    value-sorted with overflow-free integer arithmetic, self-joined on
+    the sorted (x, y) prefix and closed with one edge semi-join — all
+    JVM, integer end to end, AQE-splittable.
 
     ``max_hub_degree``: same explicit hub cap as :func:`four_cycle_count`
     (induced subgraph on degree <= cap, plus a ``capped_hubs`` report
-    column) — the triangle-pair self-join is quadratic in the number of
-    triangles sharing an (x, y) edge, which a mega-hub inflates.
+    column) — the triangle-pair space is quadratic in the number of
+    triangles sharing an edge, which a mega-hub inflates.
     ``None`` (default) = exact, schema unchanged.
     """
+    from ..plans.planner import bcast_max_edges
+
     ce = canonical_edges(edges)
     capped = None
     if max_hub_degree is not None:
         ce, capped = _drop_hubs(ce, max_hub_degree)
+    ce = ce.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        m = ce.count()
+        if m <= bcast_max_edges(ce.sparkSession):
+            total = _four_clique_bcast(ce)
+            out = _one_row(ce.sparkSession, (total,), "four_cliques long")
+            return out if capped is None else out.crossJoin(capped)
+    finally:
+        ce.unpersist()
     tri = _oriented_triangles(orient_by_degree(ce))
     # overflow-free median (a+b+c − min − max wraps near 2^62 ids) and an
     # EAGER materialization: the triangle stream is the dominant cost
