@@ -713,7 +713,9 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _edges(spark, sf_dir)
-    shuffle = connected_components(e).state.select(
+    # tier pinned: connected_components() now auto-dispatches by memory
+    # (r6); this gate's contract is the SHUFFLE tier vs the oracle
+    shuffle = connected_components(e, tier="shuffle").state.select(
         F.lit("shuffle").alias("tier"), "v", "component"
     )
     blocked = connected_components_blocked(e).state.select(
@@ -731,7 +733,8 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _edges(spark, sf_dir)
-    shuffle = label_propagation_fixed(e, LP_ITERS).select(
+    # tier pinned (r6): same rationale as q_connected_components
+    shuffle = label_propagation_fixed(e, LP_ITERS, tier="shuffle").select(
         F.lit("shuffle").alias("tier"), "v", "label"
     )
     blocked = label_propagation_blocked(e, max_iter=LP_ITERS).state.select(

@@ -32,9 +32,22 @@ def connected_components(
     run_id: str | None = None,
     resume: bool = True,
     use_delta: bool = True,
+    tier: str = "auto",
 ) -> LoopResult:
     """LoopResult whose state is ``(v: long, component: long)``;
     component = min vertex id reachable. Exact (north rule).
+
+    ``tier``: "shuffle" (the hash-min + pointer-jumping dataflow below),
+    "blocked" (:func:`connected_components_blocked`), or "auto" (round 6):
+    the memory-derived
+    :func:`~triangle_counting_spark.plans.planner.choose_iterative_tier`
+    statistic picks the blocked tier while the graph fits memory — the
+    dispatch the planner module documents for CC/LP/PageRank, previously
+    wired only for louvain/hits/bfs. The converged min-id labeling is the
+    UNIQUE fixpoint, so the tiers are interchangeable on results (the
+    driver gate asserts both against the same oracle); auto only engages
+    on the plain call shape (default max_iter, no durable checkpoint —
+    resume fingerprints are tier-specific).
 
     ``use_delta``: ALLOW the changed-label frontier join, gated per round on
     measured frontier size (frontier < n/8) — the direction-optimizing-BFS
@@ -50,6 +63,18 @@ def connected_components(
     measurement).
     """
     from pyspark.storagelevel import StorageLevel
+
+    if (
+        tier == "auto"
+        and checkpoint_dir is None
+        and run_id is None
+        and max_iter >= 50
+    ):
+        from ..plans.planner import choose_iterative_tier
+
+        tier = choose_iterative_tier(edges)
+    if tier == "blocked":
+        return connected_components_blocked(edges, checkpoint_dir=checkpoint_dir)
 
     ce = canonical_edges(edges)
     # joined every iteration — persist once, pre-partitioned on SRC so only

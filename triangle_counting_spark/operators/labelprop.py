@@ -221,9 +221,27 @@ def label_propagation_blocked(
 
 
 def label_propagation_fixed(
-    edges: DataFrame, iterations: int, weight_col: str | None = None
+    edges: DataFrame, iterations: int, weight_col: str | None = None,
+    tier: str = "auto",
 ) -> DataFrame:
-    """Exactly ``iterations`` synchronous rounds (oracle-comparable)."""
+    """Exactly ``iterations`` synchronous rounds (oracle-comparable).
+
+    ``tier`` (round 6): "auto" routes the unweighted case through the
+    memory-derived
+    :func:`~triangle_counting_spark.plans.planner.choose_iterative_tier`
+    statistic to :func:`label_propagation_blocked` while the graph fits
+    memory — both tiers run the identical synchronous round with the
+    identical (count desc, label asc) tie-break and stop on the same
+    delta == 0 test, so they agree round for round (driver-gated against
+    one oracle; re-verified exactly at sf0.1 this round). "shuffle"
+    forces the dataflow loop; weighted votes always take it (the blocked
+    tier is unweighted)."""
+    if tier == "auto" and weight_col is None:
+        from ..plans.planner import choose_iterative_tier
+
+        tier = choose_iterative_tier(edges)
+    if tier == "blocked" and weight_col is None:
+        return label_propagation_blocked(edges, max_iter=iterations).state
     res = label_propagation(edges, max_iter=iterations, weight_col=weight_col)
     # loop stops early only on convergence, which is also deterministic
     return res.state
