@@ -1281,147 +1281,13 @@ def triangle_count(
     return spark.createDataFrame([(int(count),)], "triangles long")
 
 
-def _tpv_bcast(ce: DataFrame) -> DataFrame:
-    """Broadcast-CSR per-vertex triangle counts — the zero-shuffle tier of
-    :func:`triangles_per_vertex`. Each oriented edge (a, b) intersects
-    N⁺(a)/N⁺(b) with one batch-composite searchsorted (the
-    :func:`_four_clique_bcast` phase-1 shape); every hit credits its
-    three corners, partials are merged per task with one sort + segment
-    sum, and only the nonzero (v, partial) rows return to the JVM for a
-    final tiny groupBy — versus the row plan's 3-way join + 3-way corner
-    union + hash aggregate over 3·#triangles rows."""
-    import numpy as np
-
-    spark = ce.sparkSession
-    pdf = ce.toPandas()
-    s_raw = pdf[SRC].to_numpy(dtype=np.int64)
-    d_raw = pdf[DST].to_numpy(dtype=np.int64)
-    m_in = len(s_raw)
-    if m_in == 0:
-        return spark.createDataFrame([], "v long, triangles long")
-    s, d, verts = _compact_ids(np, s_raw, d_raw, m_in)
-    n = len(verts)
-    deg = np.bincount(s, minlength=n) + np.bincount(d, minlength=n)
-    fwd = (deg[s] < deg[d]) | ((deg[s] == deg[d]) & (s < d))
-    os_ = np.where(fwd, s, d).astype(np.int64)
-    od_ = np.where(fwd, d, s).astype(np.int64)
-    order = np.argsort((os_ << 31) | od_)
-    os_, od_ = os_[order], od_[order]
-    rowptr = np.zeros(n + 1, dtype=np.int64)
-    rowptr[1:] = np.cumsum(np.bincount(os_, minlength=n))
-
-    from ..plans.blocked import _ship_arrays
-
-    files = _ship_arrays(
-        spark, {"rowptr": rowptr, "colind": od_.astype(np.int32),
-                "esrc": os_.astype(np.int32), "verts": verts}
-    )
-    _k = max(spark.sparkContext.defaultParallelism * 2, 1)
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np  # noqa: PLC0415
-        from pyspark import SparkFiles  # noqa: PLC0415
-
-        rp = np.asarray(np.load(SparkFiles.get(files["rowptr"]), mmap_mode="r"))
-        ci = np.asarray(np.load(SparkFiles.get(files["colind"]), mmap_mode="r"))
-        esrc = np.asarray(np.load(SparkFiles.get(files["esrc"]), mmap_mode="r"))
-        vt = np.asarray(np.load(SparkFiles.get(files["verts"]), mmap_mode="r"))
-        dg = rp[1:] - rp[:-1]
-        m = len(esrc)
-        CHUNK = 1 << 24
-        acc_i: list = []
-        acc_v: list = []
-        for b in batches:
-            for sl in b["id"].to_numpy():
-                eidx = np.arange(int(sl), m, _k, dtype=np.int64)
-                if len(eidx) == 0:
-                    continue
-                a_all = esrc[eidx].astype(np.int64)
-                b_all = ci[eidx].astype(np.int64)
-                vol = dg[a_all] + dg[b_all]
-                cum = np.cumsum(vol)
-                g0 = 0
-                while g0 < len(eidx):
-                    base = cum[g0 - 1] if g0 else 0
-                    g1 = min(
-                        max(int(np.searchsorted(cum, base + CHUNK)) + 1, g0 + 1),
-                        len(eidx),
-                    )
-                    ea, eb = a_all[g0:g1], b_all[g0:g1]
-                    g0 = g1
-                    la, lb = dg[ea], dg[eb]
-                    ta, tb = int(la.sum()), int(lb.sum())
-                    if ta == 0 or tb == 0:
-                        continue
-                    loc = np.arange(len(ea), dtype=np.int64)
-                    offs_a = (
-                        np.arange(ta, dtype=np.int64)
-                        - np.repeat(np.cumsum(la) - la, la)
-                        + np.repeat(rp[ea], la)
-                    )
-                    offs_b = (
-                        np.arange(tb, dtype=np.int64)
-                        - np.repeat(np.cumsum(lb) - lb, lb)
-                        + np.repeat(rp[eb], lb)
-                    )
-                    key_a = (np.repeat(loc, la) << 31) | ci[offs_a]
-                    key_b = (np.repeat(loc, lb) << 31) | ci[offs_b]
-                    pos = np.searchsorted(key_b, key_a)
-                    pos = np.minimum(pos, len(key_b) - 1)
-                    hit = key_b[pos] == key_a
-                    if not hit.any():
-                        continue
-                    x_hit = (key_a[hit] & 0x7FFFFFFF).astype(np.int64)
-                    e_hit = (key_a[hit] >> 31).astype(np.int64)
-                    h = np.bincount(e_hit, minlength=len(ea))
-                    nz = h > 0
-                    acc_i.extend([x_hit, ea[nz], eb[nz]])
-                    acc_v.extend(
-                        [np.ones(len(x_hit), dtype=np.int64), h[nz], h[nz]]
-                    )
-        if acc_i:
-            idx = np.concatenate(acc_i)
-            val = np.concatenate(acc_v)
-            o = np.argsort(idx)
-            idx, val = idx[o], val[o]
-            seg = np.flatnonzero(np.r_[True, idx[1:] != idx[:-1]])
-            tot = np.add.reduceat(val, seg)
-            yield pd.DataFrame({"v": vt[idx[seg]], "partial": tot})
-        else:
-            yield pd.DataFrame(
-                {"v": np.empty(0, dtype=np.int64),
-                 "partial": np.empty(0, dtype=np.int64)}
-            )
-
-    slices = spark.range(0, _k, 1, numPartitions=_k)
-    partials = slices.mapInPandas(kernel, schema="v long, partial long")
-    return partials.groupBy("v").agg(
-        F.sum("partial").cast("long").alias("triangles")
-    )
-
-
 def triangles_per_vertex(edges: DataFrame) -> DataFrame:
     """(v, triangles) — number of triangles each vertex participates in.
 
-    Two tiers (round 6): below the memory-derived cutoff the zero-shuffle
-    :func:`_tpv_bcast` kernel; beyond it the 3-join enumeration crediting
-    all three corners. Vertices in no triangle are absent in both (join
-    with degrees to zero-fill if needed).
+    Uses the 3-join enumeration and credits all three corners; vertices in
+    no triangle are absent (join with degrees to zero-fill if needed).
     """
-    from ..plans.planner import bcast_max_edges
-
-    ce = canonical_edges(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        m = ce.count()
-        if m <= bcast_max_edges(ce.sparkSession):
-            out = _tpv_bcast(ce)
-            # eager: the kernel's input collect happens here, inside the
-            # persist scope; the returned aggregate is tiny
-            out = out.localCheckpoint(eager=True)
-            return out
-    finally:
-        ce.unpersist()
-    oriented = orient_by_degree(ce)
+    oriented = orient_by_degree(canonical_edges(edges))
     tri = _oriented_triangles(oriented)
     corners = (
         tri.select(F.col("a").alias("v"))
