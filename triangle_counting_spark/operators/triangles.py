@@ -971,15 +971,41 @@ def triangle_count_from_adjacency(adj: DataFrame) -> DataFrame:
 
 
 def _one_row(spark, row: tuple, schema: str):
-    """Single-partition 1-row result frame. coalesce(1) + broadcast hint:
-    a plain createDataFrame carries defaultParallelism partitions and an
+    """1-row scalar result frame, shaped for cheap downstream joins.
+
+    A plain createDataFrame carries defaultParallelism partitions and an
     unknown size estimate, so chaining scalar results through crossJoins
     (the graph_scalars gate panel) planned CartesianProduct with
     multiplicative task counts (8^k tasks at k joined scalars — measured
-    46 s -> 458 s on the sf0.01 gate before this fix)."""
-    from pyspark.sql.functions import broadcast
+    46 s -> 458 s on the sf0.01 gate). And coalesce(1) over a local
+    relation is NOT the fix: it forces a real Python-RDD job per collect
+    (~5 s each on this box — the pickled local rows lose the
+    LocalTableScan driver-only path). range(1) + literal projection is a
+    pure-JVM 1-partition scan with known tiny stats; the broadcast hint
+    makes any join against it a BroadcastNestedLoopJoin. Measured: 1-row
+    collect 5.0 s (coalesce) / 0.4 s (plain) / 0.05 s (this); the 6-way
+    crossJoin 0.2 s."""
+    from pyspark.sql.functions import broadcast, lit
+    from pyspark.sql.types import _parse_datatype_string
 
-    return broadcast(spark.createDataFrame([row], schema).coalesce(1))
+    st = _parse_datatype_string(schema)
+    cols = [
+        lit(v).cast(f.dataType).alias(f.name) for v, f in zip(row, st.fields)
+    ]
+    return broadcast(spark.range(1).select(*cols))
+
+
+def _canonical_select(edges: DataFrame) -> DataFrame:
+    """Canonical (least, greatest) projection + self-loop/null filters,
+    WITHOUT the dedup distinct — the cheap, shuffle-free prefix of
+    :func:`~..orientation.canonical_edges` (the delta fast path dedups in
+    numpy instead)."""
+    s, d = F.col(SRC).cast("long"), F.col(DST).cast("long")
+    return (
+        edges.select(F.least(s, d).alias(SRC), F.greatest(s, d).alias(DST))
+        .where(F.col(SRC) != F.col(DST))
+        .where(F.col(SRC).isNotNull() & F.col(DST).isNotNull())
+    )
 
 
 def _delta_bcast(tagged: DataFrame) -> int:
@@ -1002,10 +1028,23 @@ def _delta_bcast(tagged: DataFrame) -> int:
     pdf = tagged.toPandas()
     if len(pdf) == 0:
         return 0
-    s_raw = pdf[SRC].to_numpy(dtype=np.int64)
-    d_raw = pdf[DST].to_numpy(dtype=np.int64)
-    t_raw = pdf["is_new"].to_numpy(dtype=np.int8)
+    return _delta_bcast_arrays(
+        tagged.sparkSession,
+        pdf[SRC].to_numpy(dtype=np.int64),
+        pdf[DST].to_numpy(dtype=np.int64),
+        pdf["is_new"].to_numpy(dtype=np.int8),
+    )
+
+
+def _delta_bcast_arrays(spark, s_raw, d_raw, t_raw) -> int:
+    """Array-input core of :func:`_delta_bcast` — also fed directly by
+    the narrow-id fast path in :func:`triangle_count_delta`, which
+    performs the dedup/anti-join in numpy and skips the Spark prep."""
+    import numpy as np
+
     m_in = len(s_raw)
+    if m_in == 0:
+        return 0
     n_delta = int(t_raw.sum())
     if n_delta == 0:
         return 0
@@ -1025,7 +1064,6 @@ def _delta_bcast(tagged: DataFrame) -> int:
     du = s[is_d].astype(np.int64)
     dv = d[is_d].astype(np.int64)
 
-    spark = tagged.sparkSession
     from ..plans.blocked import _ship_arrays
 
     files = _ship_arrays(
@@ -1138,6 +1176,50 @@ def triangle_count_delta(
     from ..plans.planner import bcast_max_edges
 
     spark = edges.sparkSession
+    cutoff = bcast_max_edges(spark)
+    # narrow-id fast path (round 6): the PRE-dedup row counts upper-bound
+    # the deduped graph, so when they already fit the cutoff the whole
+    # prep — both distincts, the anti-join, the union — moves into numpy
+    # on the collected cleaned pairs (packed-key np.unique + searchsorted
+    # anti), skipping four exchanges and one persist round-trip. Wide or
+    # negative ids keep the Spark prep (the pair packing needs 31-bit
+    # ids; _compact_ids in the kernel handles wide ids from the Spark
+    # path unchanged).
+    g_clean = _canonical_select(edges)
+    d_clean = _canonical_select(delta_edges)
+    if g_clean.count() + d_clean.count() <= cutoff:
+        import numpy as np
+
+        gp = g_clean.toPandas()
+        dp = d_clean.toPandas()
+        gs = gp[SRC].to_numpy(dtype=np.int64)
+        gd = gp[DST].to_numpy(dtype=np.int64)
+        ds_ = dp[SRC].to_numpy(dtype=np.int64)
+        dd = dp[DST].to_numpy(dtype=np.int64)
+        lo = min(
+            int(gs.min(initial=0)), int(ds_.min(initial=0)),
+        )
+        hi = max(
+            int(gd.max(initial=0)), int(dd.max(initial=0)),
+        )
+        if lo >= 0 and hi < (1 << 31):
+            gk = np.unique((gs << 31) | gd)
+            dk = np.unique((ds_ << 31) | dd)
+            if len(gk) and len(dk):
+                pos = np.minimum(np.searchsorted(gk, dk), len(gk) - 1)
+                dk = dk[gk[pos] != dk]
+            total = _delta_bcast_arrays(
+                spark,
+                np.concatenate([gk >> 31, dk >> 31]),
+                np.concatenate(
+                    [gk & 0x7FFFFFFF, dk & 0x7FFFFFFF]
+                ).astype(np.int64),
+                np.concatenate(
+                    [np.zeros(len(gk), dtype=np.int8),
+                     np.ones(len(dk), dtype=np.int8)]
+                ),
+            )
+            return _one_row(spark, (total,), "triangles_added long")
     g_old = canonical_edges(edges)
     # new edges only: Δ rows already present in G contribute nothing
     d_new = canonical_edges(delta_edges).join(g_old, [SRC, DST], "left_anti")
